@@ -1,0 +1,288 @@
+"""Static-shape 1-vs-N batch construction.
+
+TPU-native counterpart of the reference's python collate function
+(reference: openkge/dataset.py:724-940).  The reference builds dense
+[B, N] float label tensors and boolean filter masks on CPU dataloader
+workers; here the host emits only *index* arrays with bucketed static
+shapes — dense labels / masks are scattered on-device inside the jitted
+step, so
+
+* H2D traffic is O(positives) instead of O(B*N),
+* every array shape comes from a small bucket set, so the step function
+  compiles a handful of times and then never again,
+* the batch layout is identical for every scorer/embedder combination.
+
+Semantics preserved from the reference (parity-critical):
+
+* rows are ordered po-slot first, then sp-slot (collate fills slot 0 then
+  slot 2; the loss concatenates po scores before sp scores,
+  reference: openkge/trainer.py:69-91),
+* batch-shared candidates = first-seen-order unique answer ids, topped up
+  with uniform random negative entity ids (excluding the seen set) to
+  ``min_size_batch_labels`` (reference: openkge/dataset.py:833-863),
+* ``normalizer_loss`` = real_rows * real_cols, ``normalizer_metric`` =
+  number of distinct positive label cells (reference: openkge/dataset.py:934-935).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from open_knowledge_graph_embeddings_tpu.data.dataset import (
+    OneToNMentionRelationDataset,
+    PrefixRecords,
+    SLOT_PO,
+    SLOT_SP,
+)
+from open_knowledge_graph_embeddings_tpu.utils.misc import next_bucket
+
+PAD_COL = -1  # padding value for candidate-space column indices
+
+
+@dataclass
+class Batch:
+    """One 1-vs-N batch as static-shape numpy arrays.
+
+    Candidate-space columns index either the full entity vocabulary minus
+    specials (``candidate_ids is None``; col j <-> entity id j + cand_offset)
+    or the batch-shared candidate list (``candidate_ids[j]``).
+    """
+
+    # prefixes, po rows first then sp rows
+    ent_ids: np.ndarray  # [B] int32  entity side of the prefix (obj|subj)
+    rel_ids: np.ndarray  # [B] int32
+    is_sp: np.ndarray  # [B] bool    True: (s,r)->o query; False: (r,o)->s
+    row_valid: np.ndarray  # [B] bool
+    num_rows: int  # real rows
+
+    # candidate label space
+    candidate_ids: Optional[np.ndarray]  # [N] int32 or None (=full vocab)
+    col_valid: Optional[np.ndarray]  # [N] bool or None
+    num_cols: int  # real candidate count
+    cand_offset: int  # full-vocab entity-id offset of col 0
+
+    # positive label cells (duplicates allowed; scattered on device)
+    pos_rows: np.ndarray  # [P] int32 (-1 pad)
+    pos_cols: np.ndarray  # [P] int32 (-1 pad)
+
+    normalizer_loss: float
+
+    # ----- evaluation-only fields -----
+    filter_rows: Optional[np.ndarray] = None  # [F] int32 (-1 pad)
+    filter_cols: Optional[np.ndarray] = None  # [F] int32 (-1 pad)
+    gold_rows: Optional[np.ndarray] = None  # [G] int32 (-1 pad), row of each gold
+    gold_mention_cols: Optional[np.ndarray] = None  # [G, A] int32 (-1 pad)
+
+    @property
+    def batch_size(self) -> int:
+        return len(self.ent_ids)
+
+    def shape_key(self) -> Tuple:
+        """Bucketed-shape signature — one jit compilation per distinct key."""
+        return (
+            self.batch_size,
+            None if self.candidate_ids is None else len(self.candidate_ids),
+            len(self.pos_rows),
+            None if self.filter_rows is None else len(self.filter_rows),
+            None if self.gold_rows is None else self.gold_mention_cols.shape,
+        )
+
+
+class BatchBuilder:
+    """Builds batches from a :class:`OneToNMentionRelationDataset`."""
+
+    def __init__(
+        self,
+        dataset: OneToNMentionRelationDataset,
+        batch_size: Optional[int] = None,
+        drop_last: Optional[bool] = None,
+        pos_bucket_min: int = 1024,
+        seed: int = 0,
+    ):
+        self.ds = dataset
+        self.rec: PrefixRecords = dataset.records
+        self.meta = dataset.meta
+        self.batch_size = batch_size or dataset.batch_size
+        self.drop_last = dataset.is_training_data if drop_last is None else drop_last
+        self.pos_bucket_min = pos_bucket_min
+        self.rng = np.random.default_rng(seed)
+        self.cand_offset = self.meta.min_entities_size
+        self.full_num_cols = self.meta.entities_size - self.cand_offset
+        # reusable entity-id -> batch-column translation buffer
+        self._col_of_ent = np.full(self.meta.entities_size, PAD_COL, dtype=np.int32)
+
+    def __len__(self) -> int:
+        n = len(self.rec)
+        b = self.batch_size
+        return n // b if self.drop_last else -(-n // b)
+
+    def batches(self, shuffle: bool = False) -> Iterator[Batch]:
+        order = np.arange(len(self.rec))
+        if shuffle:
+            self.rng.shuffle(order)
+        b = self.batch_size
+        limit = (len(order) // b) * b if self.drop_last else len(order)
+        for start in range(0, limit, b):
+            yield self.build(order[start : start + b])
+
+    # ------------------------------------------------------------------ core
+
+    def build(self, item_ids: Sequence[int]) -> Batch:
+        rec = self.rec
+        item_ids = np.asarray(item_ids)
+        # po rows first, then sp rows (reference slot iteration order [0, 2])
+        item_ids = np.concatenate(
+            [item_ids[rec.slot[item_ids] == SLOT_PO], item_ids[rec.slot[item_ids] == SLOT_SP]]
+        )
+        n_rows = len(item_ids)
+        B = self.batch_size
+
+        is_sp_rows = rec.slot[item_ids] == SLOT_SP
+        # prefix layout: sp rows store (subj, rel) in (p1, p2); po rows (rel, obj)
+        ent = np.where(is_sp_rows, rec.p1[item_ids], rec.p2[item_ids]).astype(np.int32)
+        rel = np.where(is_sp_rows, rec.p2[item_ids], rec.p1[item_ids]).astype(np.int32)
+
+        ent_ids = np.zeros(B, dtype=np.int32)
+        rel_ids = np.zeros(B, dtype=np.int32)
+        is_sp = np.zeros(B, dtype=bool)
+        row_valid = np.zeros(B, dtype=bool)
+        ent_ids[:n_rows] = ent
+        rel_ids[:n_rows] = rel
+        is_sp[:n_rows] = is_sp_rows
+        row_valid[:n_rows] = True
+
+        training = self.ds.is_training_data
+
+        # --- per-row positive mention ids (ragged slices) ---
+        row_ment: List[np.ndarray] = [rec.row_mentions(i) for i in item_ids]
+
+        if self.ds.use_batch_shared_entities:
+            batch = self._build_batch_shared(item_ids, row_ment, ent_ids, rel_ids, is_sp, row_valid, n_rows)
+        else:
+            batch = self._build_full_vocab(item_ids, row_ment, ent_ids, rel_ids, is_sp, row_valid, n_rows)
+        return batch
+
+    # ---------------------------------------------------------- full vocab
+
+    def _build_full_vocab(self, item_ids, row_ment, ent_ids, rel_ids, is_sp, row_valid, n_rows) -> Batch:
+        off = self.cand_offset
+        N = self.full_num_cols
+        pos_rows, pos_cols = self._pack_positives(row_ment, lambda m: m - off)
+        batch = Batch(
+            ent_ids=ent_ids, rel_ids=rel_ids, is_sp=is_sp, row_valid=row_valid, num_rows=n_rows,
+            candidate_ids=None, col_valid=None, num_cols=N, cand_offset=off,
+            pos_rows=pos_rows, pos_cols=pos_cols,
+            normalizer_loss=float(n_rows) * float(N),
+        )
+        if not self.ds.is_training_data:
+            self._attach_eval(batch, item_ids, lambda m: m.astype(np.int32) - off, n_rows)
+        return batch
+
+    # --------------------------------------------------------- batch shared
+
+    def _build_batch_shared(self, item_ids, row_ment, ent_ids, rel_ids, is_sp, row_valid, n_rows) -> Batch:
+        rec = self.rec
+        training = self.ds.is_training_data
+        # Candidate pool: answers from this split (train) or from all splits
+        # (eval, for filterable scoring) in first-seen order
+        # (reference: openkge/dataset.py:813-825).
+        if training:
+            pool_parts = row_ment
+        else:
+            pool_parts = [rec.row_filter(i) for i in item_ids]
+        pool = np.concatenate(pool_parts) if pool_parts else np.zeros(0, np.int32)
+        # first-seen-order unique
+        _, first_idx = np.unique(pool, return_index=True)
+        shared = pool[np.sort(first_idx)]
+
+        min_size = self.ds.min_size_batch_labels
+        if min_size is None or min_size < 0:
+            min_size = 0
+        if len(shared) >= min_size:
+            cand_real = shared
+        else:
+            neg = self.rng.choice(
+                self.meta.entities_size - self.cand_offset, size=min_size, replace=False
+            ).astype(np.int32) + self.cand_offset
+            neg = neg[~np.isin(neg, shared, assume_unique=False)]
+            cand_real = np.concatenate([shared, neg])[:min_size]
+        N_real = len(cand_real)
+        N_pad = next_bucket(N_real, minimum=256)
+
+        candidate_ids = np.zeros(N_pad, dtype=np.int32)
+        candidate_ids[:N_real] = cand_real
+        col_valid = np.zeros(N_pad, dtype=bool)
+        col_valid[:N_real] = True
+
+        # entity id -> column translation via reusable buffer
+        lut = self._col_of_ent
+        lut[cand_real] = np.arange(N_real, dtype=np.int32)
+        translate = lambda m: lut[m]
+
+        pos_rows, pos_cols = self._pack_positives(row_ment, translate)
+        batch = Batch(
+            ent_ids=ent_ids, rel_ids=rel_ids, is_sp=is_sp, row_valid=row_valid, num_rows=n_rows,
+            candidate_ids=candidate_ids, col_valid=col_valid, num_cols=N_real,
+            cand_offset=self.cand_offset,
+            pos_rows=pos_rows, pos_cols=pos_cols,
+            normalizer_loss=float(n_rows) * float(N_real),
+        )
+        if not training:
+            self._attach_eval(batch, item_ids, lambda m: lut[m], n_rows)
+        lut[cand_real] = PAD_COL  # reset buffer
+        return batch
+
+    # ------------------------------------------------------------- helpers
+
+    def _pack_positives(self, row_ment: List[np.ndarray], translate) -> Tuple[np.ndarray, np.ndarray]:
+        lens = np.array([len(m) for m in row_ment], dtype=np.int64)
+        total = int(lens.sum())
+        P = next_bucket(total, minimum=self.pos_bucket_min)
+        pos_rows = np.full(P, PAD_COL, dtype=np.int32)
+        pos_cols = np.full(P, PAD_COL, dtype=np.int32)
+        if total:
+            pos_rows[:total] = np.repeat(np.arange(len(row_ment), dtype=np.int32), lens)
+            pos_cols[:total] = translate(np.concatenate(row_ment).astype(np.int64)).astype(np.int32)
+        return pos_rows, pos_cols
+
+    def _attach_eval(self, batch: Batch, item_ids, translate, n_rows: int) -> None:
+        rec = self.rec
+        assert rec.filter_offsets is not None, (
+            "eval batches need a filter index; call dataset.attach_filter_index(...) first"
+        )
+        # filter cells
+        filt_parts = [rec.row_filter(i) for i in item_ids]
+        flens = np.array([len(f) for f in filt_parts], dtype=np.int64)
+        ftotal = int(flens.sum())
+        F = next_bucket(ftotal, minimum=self.pos_bucket_min)
+        filter_rows = np.full(F, PAD_COL, dtype=np.int32)
+        filter_cols = np.full(F, PAD_COL, dtype=np.int32)
+        if ftotal:
+            filter_rows[:ftotal] = np.repeat(np.arange(len(item_ids), dtype=np.int32), flens)
+            filter_cols[:ftotal] = translate(np.concatenate(filt_parts).astype(np.int64)).astype(np.int32)
+
+        # gold groups: one row per (prefix, gold entity), columns = mention
+        # alternatives (reference keeps these as python list-of-list "label_ids",
+        # openkge/dataset.py:906-926)
+        g_rows: List[int] = []
+        g_ments: List[np.ndarray] = []
+        for bi, i in enumerate(item_ids):
+            gs, ge = rec.group_offsets[i], rec.group_offsets[i + 1]
+            for g in range(gs, ge):
+                g_rows.append(bi)
+                g_ments.append(rec.mentions[rec.mention_offsets[g] : rec.mention_offsets[g + 1]])
+        A = next_bucket(max((len(m) for m in g_ments), default=1), minimum=1)
+        G = next_bucket(len(g_rows), minimum=self.pos_bucket_min)
+        gold_rows = np.full(G, PAD_COL, dtype=np.int32)
+        gold_mention_cols = np.full((G, A), PAD_COL, dtype=np.int32)
+        for gi, (r, m) in enumerate(zip(g_rows, g_ments)):
+            gold_rows[gi] = r
+            gold_mention_cols[gi, : len(m)] = translate(m.astype(np.int64)).astype(np.int32)
+
+        batch.filter_rows = filter_rows
+        batch.filter_cols = filter_cols
+        batch.gold_rows = gold_rows
+        batch.gold_mention_cols = gold_mention_cols

@@ -1,0 +1,567 @@
+"""Entity/relation embedders: lookup tables and token-composition encoders.
+
+Four families, capability-matched to the reference
+(reference: openkge/model.py:353-998) but written as pure functions over a
+``variables = {"params", "state", "buffers"}`` pytree:
+
+* :class:`LookupEmbedder` — per-id tables with the reference's encode
+  pipeline (input-dropout -> batchnorm -> projection -> l2-norm -> dropout)
+  and the cubic-abs L2 regularizer hook,
+* :class:`UnigramPoolingEmbedder` — sum/mean/max over token embeddings,
+* :class:`BigramPoolingEmbedder` — width-2 conv over token embeddings with
+  residual or sigmoid-gated mixing, masked pooling,
+* :class:`LSTMEmbedder` — scan LSTM, output at last non-pad position.
+
+Design notes (TPU):
+
+* token-id matrices are [num_items, max_len] int32 device buffers
+  (``variables["buffers"]``); an encode is gather -> token-table gather ->
+  batched compose, all static shapes,
+* PAD (id 0) rows of every table are initialized like torch
+  (random values surviving ``init.normal_``) but receive zero gradient;
+  sum-pooling therefore includes pad vectors exactly as the reference does,
+* every encode returns ``(emb, new_state, reg)`` where ``reg`` is this
+  call's contribution to the cubic-abs regularizer
+  (reference: openkge/model.py:471-479) and ``new_state`` carries updated
+  batch-norm statistics.
+
+Deliberate fixes of reference quirks (documented, not silently copied):
+
+* reference ``UnigramPoolingRelationEmbedder.encode_subj/obj`` reads the
+  never-assigned ``self.entity_projection`` (AttributeError at
+  openkge/model.py:789,792); here entity projection is None for unigram.
+* reference initializes token-encoder relation projections by passing
+  ``init_core_tensor_std`` as the *mean* of a std-1 normal
+  (openkge/model.py:747-748 — ``normal_(w, std_val)`` binds the mean
+  positionally); here it is used as the standard deviation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open_knowledge_graph_embeddings_tpu.data.dataset import DatasetMeta
+from open_knowledge_graph_embeddings_tpu.data.vocab import PAD
+from open_knowledge_graph_embeddings_tpu.ops.lstm import init_lstm_params, lstm_forward
+from open_knowledge_graph_embeddings_tpu.ops.norm import apply_batchnorm, init_batchnorm
+
+Variables = Dict[str, Any]
+
+
+# --------------------------------------------------------------------- utils
+
+
+def _dropout(x: jax.Array, rate: float, train: bool, rng: Optional[jax.Array]) -> jax.Array:
+    if not train or rate <= 0.0:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+def _l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    # torch.nn.functional.normalize semantics: x / max(||x||, eps)
+    n = jnp.linalg.norm(x, axis=-1, keepdims=True)
+    return x / jnp.maximum(n, eps)
+
+
+def _xavier_normal(rng: jax.Array, shape_out_in: Tuple[int, int]) -> jax.Array:
+    fan_out, fan_in = shape_out_in
+    std = np.sqrt(2.0 / (fan_in + fan_out))
+    return jax.random.normal(rng, shape_out_in, jnp.float32) * std
+
+
+def _cubic_abs_reg(x: jax.Array, l2_reg: float, dropout: float) -> jax.Array:
+    """l2_reg * sum(|x'|^3) with the reference's dropout rescale quirk
+    (x' = x / dropout_rate when dropout_rate > 0; openkge/model.py:471-475)."""
+    if dropout > 0:
+        x = x / dropout
+    return l2_reg * jnp.sum(jnp.abs(x) ** 3)
+
+
+def zero_pad_row_grads(grads: Variables, table_names=()) -> Variables:
+    """Zero the PAD-row gradient of embedding tables (torch padding_idx)."""
+    params = grads
+    for name in table_names:
+        node = params
+        *path, leaf = name.split("/")
+        for p in path:
+            node = node[p]
+        node[leaf] = node[leaf].at[PAD].set(0.0)
+    return grads
+
+
+class Embedder:
+    """Interface shared by all embedder families."""
+
+    entity_dim: int
+    relation_dim: int
+    meta: DatasetMeta
+    #: parameter paths (slash-separated) of tables whose PAD row is frozen
+    pad_frozen_tables: Tuple[str, ...] = ()
+
+    def init(self, rng: jax.Array) -> Variables:
+        raise NotImplementedError
+
+    def encode_entity(
+        self,
+        variables: Variables,
+        ids: jax.Array,
+        *,
+        is_sp: Optional[jax.Array] = None,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, Dict, jax.Array]:
+        raise NotImplementedError
+
+    def encode_relation(
+        self, variables: Variables, ids: jax.Array, *, train: bool = False, rng: Optional[jax.Array] = None
+    ) -> Tuple[jax.Array, Dict, jax.Array]:
+        raise NotImplementedError
+
+
+# ------------------------------------------------------------------- lookup
+
+
+@dataclass
+class LookupEmbedder(Embedder):
+    """Per-id embedding tables (reference: LookupBaseRelationEmbedder,
+    openkge/model.py:353-558).
+
+    ``project_relation`` projects the relation embedding to
+    ``entity_slot_size ** 2`` (the Tucker3 core); ``project_entity`` adds
+    separate subject/object linear maps, selected per row by ``is_sp`` for
+    mixed-direction batches (candidate encodings always use the object map,
+    mirroring the reference's encode_obj-for-candidates convention,
+    openkge/model.py:76-77).
+    """
+
+    meta: DatasetMeta = None
+    entity_slot_size: int = 128
+    relation_slot_size: Optional[int] = None
+    entity_embedding_size: Optional[int] = None
+    relation_embedding_size: Optional[int] = None
+    normalize: str = ""
+    dropout: float = 0.0
+    input_dropout: float = 0.0
+    relation_dropout: Optional[float] = None
+    relation_input_dropout: Optional[float] = None
+    project_entity: bool = False
+    project_entity_activation: Optional[str] = "ReLU"
+    project_relation: bool = False
+    project_relation_activation: Optional[str] = None
+    sparse: bool = False  # accepted for config parity; grads are handled by optimizer
+    init_std: float = 0.01
+    batch_norm: bool = False
+    l2_reg: float = 0.0
+
+    def __post_init__(self):
+        if self.relation_slot_size is None or self.relation_slot_size <= 0:
+            self.relation_slot_size = self.entity_slot_size
+        self._entity_emb_size = self.entity_embedding_size or self.entity_slot_size
+        self._relation_emb_size = self.relation_embedding_size or self.relation_slot_size
+        if self.relation_dropout is None:
+            self.relation_dropout = self.dropout
+        if self.relation_input_dropout is None:
+            self.relation_input_dropout = self.input_dropout
+        self.entity_dim = self.entity_slot_size
+        self.relation_dim = (
+            self.entity_slot_size ** 2 if self.project_relation else self._relation_emb_size
+        )
+        self.pad_frozen_tables = ("entity_embedding", "relation_embedding")
+
+    def init(self, rng: jax.Array) -> Variables:
+        ks = iter(jax.random.split(rng, 8))
+        params: Dict[str, Any] = {
+            "entity_embedding": jax.random.normal(
+                next(ks), (self.meta.entities_size, self._entity_emb_size), jnp.float32
+            )
+            * self.init_std,
+            "relation_embedding": jax.random.normal(
+                next(ks), (self.meta.relations_size, self._relation_emb_size), jnp.float32
+            )
+            * self.init_std,
+        }
+        state: Dict[str, Any] = {}
+        if self.project_relation:
+            params["relation_projection"] = {
+                "w": _xavier_normal(next(ks), (self.entity_slot_size ** 2, self._relation_emb_size))
+            }
+        if self.project_entity:
+            params["subj_projection"] = {
+                "w": _xavier_normal(next(ks), (self.entity_slot_size, self.entity_slot_size))
+            }
+            params["obj_projection"] = {
+                "w": _xavier_normal(next(ks), (self.entity_slot_size, self.entity_slot_size))
+            }
+        if self.batch_norm:
+            params["bn_e"], state["bn_e"] = init_batchnorm(self._entity_emb_size)
+            params["bn_r"], state["bn_r"] = init_batchnorm(self._relation_emb_size)
+        return {"params": params, "state": state, "buffers": {}}
+
+    # -- pipeline (reference order: openkge/model.py:455-480)
+
+    def _activation(self, name: Optional[str]):
+        if not name:
+            return None
+        return getattr(jax.nn, {"ReLU": "relu", "Tanh": "tanh", "Sigmoid": "sigmoid",
+                                "GELU": "gelu", "ELU": "elu", "LeakyReLU": "leaky_relu"}.get(name, name.lower()))
+
+    def _encode(
+        self, variables, x, bn_name, proj_names, proj_act, input_dropout, dropout, train, rng
+    ):
+        params, state = variables["params"], variables["state"]
+        new_state = dict(state)
+        r1 = r2 = None
+        if rng is not None:
+            r1, r2 = jax.random.split(rng)
+        x = _dropout(x, input_dropout, train, r1)
+        if self.batch_norm and bn_name is not None:
+            x, new_state[bn_name] = apply_batchnorm(params[bn_name], state[bn_name], x, train)
+        if proj_names:
+            act = self._activation(proj_act)
+            projected = []
+            for pn in proj_names:
+                y = x @ params[pn]["w"].T
+                projected.append(act(y) if act else y)
+            x = projected[0] if len(projected) == 1 else projected
+        if self.normalize == "norm":
+            x = _l2_normalize(x) if not isinstance(x, list) else [_l2_normalize(v) for v in x]
+        if isinstance(x, list):
+            x = [_dropout(v, dropout, train, r2) for v in x]
+        else:
+            x = _dropout(x, dropout, train, r2)
+        reg = jnp.zeros((), jnp.float32)
+        if train and self.l2_reg > 0:
+            xs = x if isinstance(x, list) else [x]
+            for v in xs:
+                reg = reg + _cubic_abs_reg(v, self.l2_reg, self.dropout)
+        return x, new_state, reg
+
+    def encode_entity(self, variables, ids, *, is_sp=None, train=False, rng=None):
+        x = variables["params"]["entity_embedding"][ids]
+        return self._encode_entity_repr(variables, x, is_sp=is_sp, train=train, rng=rng)
+
+    def encode_entity_rows(self, variables, rows, *, is_sp=None, train=False, rng=None):
+        """Encode raw table rows (the reference's ``lookup=False`` path used
+        by get_all_*; openkge/model.py:512-523)."""
+        return self._encode_entity_repr(variables, rows, is_sp=is_sp, train=train, rng=rng)
+
+    def _encode_entity_repr(self, variables, x, *, is_sp, train, rng):
+        if self.project_entity:
+            out, new_state, reg = self._encode(
+                variables, x, "bn_e" if self.batch_norm else None,
+                ["subj_projection", "obj_projection"], self.project_entity_activation,
+                self.input_dropout, self.dropout, train, rng,
+            )
+            subj_out, obj_out = out
+            if is_sp is None:
+                x = obj_out
+            else:
+                x = jnp.where(is_sp[:, None], subj_out, obj_out)
+            return x, new_state, reg
+        return self._encode(
+            variables, x, "bn_e" if self.batch_norm else None, [], None,
+            self.input_dropout, self.dropout, train, rng,
+        )
+
+    def encode_relation(self, variables, ids, *, train=False, rng=None):
+        x = variables["params"]["relation_embedding"][ids]
+        return self._encode(
+            variables, x, "bn_r" if self.batch_norm else None,
+            ["relation_projection"] if self.project_relation else [],
+            self.project_relation_activation,
+            self.relation_input_dropout, self.relation_dropout, train, rng,
+        )
+
+
+# --------------------------------------------------------- token-based base
+
+
+@dataclass
+class TokenEmbedderBase(Embedder):
+    """Shared machinery of token-composition embedders
+    (reference: TokenBasedRelationEmbedder, openkge/model.py:561-712)."""
+
+    meta: DatasetMeta = None
+    entity_slot_size: int = 128
+    relation_slot_size: Optional[int] = None
+    sparse: bool = False
+    init_std: float = 0.01
+    normalize: Optional[str] = None
+    dropout: float = 0.0
+    entity_dropout: Optional[float] = None
+    relation_dropout: Optional[float] = None
+    project_relation: bool = False
+    l2_reg: float = 0.0  # accepted for config parity; token models don't use it
+
+    def __post_init__(self):
+        if self.relation_slot_size is None or self.relation_slot_size <= 0:
+            self.relation_slot_size = self.entity_slot_size
+        # reference: falsy entity_dropout falls back to dropout (model.py:755-756)
+        self.entity_dropout = self.entity_dropout if self.entity_dropout else self.dropout
+        self.relation_dropout = self.relation_dropout if self.relation_dropout else self.dropout
+        self.entity_dim = self.entity_slot_size
+        self.relation_dim = (
+            self.entity_slot_size ** 2 if self.project_relation else self.relation_slot_size
+        )
+        self.pad_frozen_tables = ("entity_token_embedding", "relation_token_embedding")
+        assert self.meta.entity_token_ids is not None, "dataset has no entity token map"
+
+    # -- shared init pieces
+
+    def _init_base(self, ks) -> Tuple[Dict, Dict, Dict]:
+        params: Dict[str, Any] = {
+            "entity_token_embedding": jax.random.normal(
+                next(ks), (self.meta.entity_tokens_size, self.entity_slot_size), jnp.float32
+            )
+            * self.init_std,
+            "relation_token_embedding": jax.random.normal(
+                next(ks), (self.meta.relation_tokens_size, self.relation_slot_size), jnp.float32
+            )
+            * self.init_std,
+        }
+        state: Dict[str, Any] = {}
+        buffers = {
+            "entity_token_ids": jnp.asarray(self.meta.entity_token_ids),
+            "relation_token_ids": jnp.asarray(self.meta.relation_token_ids),
+        }
+        if self.normalize == "batchnorm":
+            params["entity_bn"], state["entity_bn"] = init_batchnorm(
+                self.entity_slot_size, uniform_weight=True, rng=next(ks)
+            )
+            params["relation_bn"], state["relation_bn"] = init_batchnorm(
+                self.relation_slot_size, uniform_weight=True, rng=next(ks)
+            )
+        if self.project_relation:
+            d2 = self.entity_slot_size ** 2
+            std = 1.0 / (d2 * self.relation_slot_size * self.init_std ** 3)
+            w = jax.random.normal(next(ks), (d2, self.relation_slot_size), jnp.float32) * std
+            bn_p, bn_s = init_batchnorm(d2)
+            params["relation_projection"] = {"w": w, "bn": bn_p}
+            state["relation_projection_bn"] = bn_s
+        return params, state, buffers
+
+    def _tokens(self, variables, ids, kind: str) -> jax.Array:
+        return variables["buffers"][f"{kind}_token_ids"][ids]
+
+    def _apply_relation_projection(self, variables, x, train):
+        """Linear d_r -> d_e^2 followed by BatchNorm1d (reference token-encoder
+        projection head, openkge/model.py:944-947)."""
+        params, state = variables["params"], variables["state"]
+        y = x @ params["relation_projection"]["w"].T
+        y, new_bn = apply_batchnorm(
+            params["relation_projection"]["bn"], state["relation_projection_bn"], y, train
+        )
+        return y, new_bn
+
+
+# ------------------------------------------------------------------ unigram
+
+
+@dataclass
+class UnigramPoolingEmbedder(TokenEmbedderBase):
+    """Entity/relation embedding = pooled token embeddings
+    (reference: UnigramPoolingRelationEmbedder, openkge/model.py:716-798)."""
+
+    pool: str = "sum"
+    activation: Optional[str] = None
+
+    def init(self, rng: jax.Array) -> Variables:
+        ks = iter(jax.random.split(rng, 8))
+        params, state, buffers = self._init_base(ks)
+        return {"params": params, "state": state, "buffers": buffers}
+
+    def _compose(self, variables, ids, kind, table_name, bn_name, proj, dropout, train, rng):
+        toks = self._tokens(variables, ids, kind)  # [B, L]
+        emb = variables["params"][table_name][toks]  # [B, L, d]
+        if self.pool == "max":
+            x = jnp.max(emb, axis=1)
+        elif self.pool == "mean":
+            lengths = jnp.sum((toks > 0).astype(jnp.float32), axis=1, keepdims=True)
+            x = jnp.sum(emb, axis=1) / (lengths + 1e-12)
+        else:  # sum — includes pad vectors exactly like the reference
+            x = jnp.sum(emb, axis=1)
+        if self.activation:
+            x = getattr(jax.nn, {"ReLU": "relu", "Tanh": "tanh"}.get(self.activation, self.activation.lower()))(x)
+        new_state = dict(variables["state"])
+        if self.normalize == "norm":
+            x = _l2_normalize(x)
+        elif self.normalize == "batchnorm":
+            x, new_state[bn_name] = apply_batchnorm(
+                variables["params"][bn_name], variables["state"][bn_name], x, train
+            )
+        if proj:
+            x, new_state["relation_projection_bn"] = self._apply_relation_projection(
+                variables, x, train
+            )
+        x = _dropout(x, dropout, train, rng)
+        return x, new_state, jnp.zeros((), jnp.float32)
+
+    def encode_entity(self, variables, ids, *, is_sp=None, train=False, rng=None):
+        return self._compose(
+            variables, ids, "entity", "entity_token_embedding", "entity_bn",
+            False, self.entity_dropout, train, rng,
+        )
+
+    def encode_relation(self, variables, ids, *, train=False, rng=None):
+        return self._compose(
+            variables, ids, "relation", "relation_token_embedding", "relation_bn",
+            self.project_relation, self.relation_dropout, train, rng,
+        )
+
+
+# ------------------------------------------------------------------- bigram
+
+
+@dataclass
+class BigramPoolingEmbedder(TokenEmbedderBase):
+    """Width-2 convolution over token embeddings with residual or gated mix,
+    masked pooling (reference: BigramPoolingRelationEmbedder,
+    openkge/model.py:801-909).
+
+    The reference's BN here is a BatchNorm1d over the channel axis of the
+    [B, C, L-1] conv output with ``momentum=None`` (cumulative stats) applied
+    *inside* the encoder, before the residual; replicated.  The reference
+    never applies its relation projection in this family (encode_rel passes
+    proj=None, openkge/model.py:905-906), so ``project_relation`` is rejected.
+    """
+
+    pool: str = ""
+    gates: bool = False
+    encoder_activation: Optional[str] = None
+
+    def __post_init__(self):
+        super().__post_init__()
+        assert not self.project_relation, (
+            "project_relation is unsupported for the bigram embedder "
+            "(the reference defines but never applies it; openkge/model.py:905)"
+        )
+
+    def init(self, rng: jax.Array) -> Variables:
+        ks = iter(jax.random.split(rng, 10))
+        params, state, buffers = self._init_base(ks)
+        # conv kernels [out_ch, in_ch, 2], torch default U(-k, k), k=1/sqrt(in*2)
+        for kind, d in (("entity", self.entity_slot_size), ("relation", self.relation_slot_size)):
+            out_ch = d + 1 if self.gates else d
+            k = 1.0 / np.sqrt(d * 2)
+            params[f"{kind}_conv"] = jax.random.uniform(
+                next(ks), (out_ch, d, 2), jnp.float32, -k, k
+            )
+            bn_p, bn_s = init_batchnorm(out_ch)
+            params[f"{kind}_conv_bn"] = bn_p
+            state[f"{kind}_conv_bn"] = bn_s
+        return {"params": params, "state": state, "buffers": buffers}
+
+    def _conv_bn_momentum(self):
+        return None  # reference: BatchNorm1d(..., momentum=None), model.py:859-860
+
+    def _compose(self, variables, ids, kind, table_name, dropout, train, rng):
+        toks = self._tokens(variables, ids, kind)  # [B, L]
+        emb = variables["params"][table_name][toks]  # [B, L, d]
+        w = variables["params"][f"{kind}_conv"]  # [out_ch, d, 2]
+        # conv1d kernel=2 over length: out[:, t, c] = sum_d (emb[:,t,d] w[c,d,0] + emb[:,t+1,d] w[c,d,1])
+        y = (
+            jnp.einsum("bld,cd->blc", emb[:, :-1, :], w[:, :, 0], preferred_element_type=jnp.float32)
+            + jnp.einsum("bld,cd->blc", emb[:, 1:, :], w[:, :, 1], preferred_element_type=jnp.float32)
+        )  # [B, L-1, out_ch]
+        if self.encoder_activation:
+            y = getattr(jax.nn, {"ReLU": "relu", "Tanh": "tanh"}.get(
+                self.encoder_activation, self.encoder_activation.lower()))(y)
+        new_state = dict(variables["state"])
+        if self.normalize == "batchnorm":
+            B, Lm1, C = y.shape
+            y2, new_state[f"{kind}_conv_bn"] = apply_batchnorm(
+                variables["params"][f"{kind}_conv_bn"],
+                variables["state"][f"{kind}_conv_bn"],
+                y.reshape(B * Lm1, C),
+                train,
+                momentum=self._conv_bn_momentum(),
+            )
+            y = y2.reshape(B, Lm1, C)
+        if self.gates:
+            g = jax.nn.sigmoid(y[..., -1:])
+            y = y[..., :-1] * g + emb[:, 1:, :] * (1 - g)
+        else:
+            y = y + emb[:, 1:, :]
+        mask = (toks > 0).astype(y.dtype)[:, 1:, None]  # [B, L-1, 1]
+        if self.pool == "max":
+            x = jnp.max(y * mask, axis=1)
+        else:
+            x = jnp.sum(y * mask, axis=1)
+        if self.normalize == "mean":
+            lens = jnp.sum(mask, axis=1)
+            x = x / (lens + 1e-12)
+        if self.normalize == "norm":
+            x = _l2_normalize(x)
+        x = _dropout(x, dropout, train, rng)
+        return x, new_state, jnp.zeros((), jnp.float32)
+
+    def encode_entity(self, variables, ids, *, is_sp=None, train=False, rng=None):
+        return self._compose(
+            variables, ids, "entity", "entity_token_embedding", self.entity_dropout, train, rng
+        )
+
+    def encode_relation(self, variables, ids, *, train=False, rng=None):
+        return self._compose(
+            variables, ids, "relation", "relation_token_embedding", self.relation_dropout, train, rng
+        )
+
+
+# --------------------------------------------------------------------- lstm
+
+
+@dataclass
+class LSTMEmbedder(TokenEmbedderBase):
+    """LSTM over token embeddings; representation = output at the last
+    non-pad position (reference: LSTMRelationEmbedder, openkge/model.py:912-998)."""
+
+    encoder_activation: Optional[str] = None
+
+    def init(self, rng: jax.Array) -> Variables:
+        ks = iter(jax.random.split(rng, 10))
+        params, state, buffers = self._init_base(ks)
+        params["entity_lstm"] = init_lstm_params(next(ks), self.entity_slot_size, self.entity_slot_size)
+        params["relation_lstm"] = init_lstm_params(
+            next(ks), self.relation_slot_size, self.relation_slot_size
+        )
+        return {"params": params, "state": state, "buffers": buffers}
+
+    def _compose(self, variables, ids, kind, table_name, lstm_name, bn_name, proj, dropout, train, rng):
+        toks = self._tokens(variables, ids, kind)  # [B, L]
+        emb = variables["params"][table_name][toks]  # [B, L, d]
+        lengths = jnp.sum((toks > 0).astype(jnp.int32), axis=1)
+        out = lstm_forward(variables["params"][lstm_name], emb)
+        idx = jnp.clip(lengths - 1, 0, toks.shape[1] - 1)
+        x = jnp.take_along_axis(out, idx[:, None, None], axis=1)[:, 0, :]
+        if self.encoder_activation:
+            x = getattr(jax.nn, {"ReLU": "relu", "Tanh": "tanh"}.get(
+                self.encoder_activation, self.encoder_activation.lower()))(x)
+        new_state = dict(variables["state"])
+        if self.normalize == "batchnorm":
+            x, new_state[bn_name] = apply_batchnorm(
+                variables["params"][bn_name], variables["state"][bn_name], x, train
+            )
+        if proj:
+            x, new_state["relation_projection_bn"] = self._apply_relation_projection(
+                variables, x, train
+            )
+        x = _dropout(x, dropout, train, rng)
+        return x, new_state, jnp.zeros((), jnp.float32)
+
+    def encode_entity(self, variables, ids, *, is_sp=None, train=False, rng=None):
+        return self._compose(
+            variables, ids, "entity", "entity_token_embedding", "entity_lstm", "entity_bn",
+            False, self.entity_dropout, train, rng,
+        )
+
+    def encode_relation(self, variables, ids, *, train=False, rng=None):
+        return self._compose(
+            variables, ids, "relation", "relation_token_embedding", "relation_lstm", "relation_bn",
+            self.project_relation, self.relation_dropout, train, rng,
+        )

@@ -1,0 +1,262 @@
+"""Scorer x embedder combination and the model registry.
+
+The reference combines scorers and embedders by multiple inheritance into
+named classes (reference: openkge/model.py:1001-1066).  Here a
+:class:`KGEModel` is a plain composition: an :class:`Embedder` producing
+entity/relation representations and a scorer *query function* that folds the
+prefix direction into a per-row query vector, after which sp and po rows of
+a batch share a single candidate matmul (see ops/scoring.py).
+
+State threading order inside a step matches the reference's encode order
+(candidates first, then prefix entities, then relations;
+reference: openkge/trainer.py:75-88) so batch-norm statistics evolve
+equivalently.  One deliberate deviation: the reference runs po-slot and
+sp-slot rows through the encoders as two separate sub-batches, so its BN
+batch statistics are per-direction; here the mixed batch is encoded jointly
+(one gather, one BN) — statistically equivalent and one kernel instead of
+two.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from open_knowledge_graph_embeddings_tpu.data.dataset import DatasetMeta
+from open_knowledge_graph_embeddings_tpu.models.embedders import (
+    BigramPoolingEmbedder,
+    Embedder,
+    LookupEmbedder,
+    LSTMEmbedder,
+    UnigramPoolingEmbedder,
+    Variables,
+)
+from open_knowledge_graph_embeddings_tpu.ops import scoring
+
+QUERY_FNS: Dict[str, Callable] = {
+    "complex": scoring.complex_query,
+    "distmult": scoring.distmult_query,
+    "rescal": scoring.rescal_query,
+    "bias_relation": scoring.bias_relation_query,
+    "bias_entity": scoring.bias_entity_query,
+}
+
+#: scorers whose triple_score is defined (bias diagnostics raise, as in the
+#: reference, openkge/model.py:311-312, 347-348)
+TRIPLE_CAPABLE = {"complex", "distmult", "rescal"}
+
+
+@dataclass
+class KGEModel:
+    scorer: str
+    embedder: Embedder
+
+    def __post_init__(self):
+        assert self.scorer in QUERY_FNS, f"unknown scorer {self.scorer}"
+        if self.scorer == "complex":
+            assert self.embedder.entity_dim % 2 == 0, "ComplEx needs an even embedding size"
+        if self.scorer == "rescal":
+            assert self.embedder.relation_dim == self.embedder.entity_dim ** 2, (
+                "RESCAL/Tucker3 needs relation_dim == entity_dim^2 "
+                "(set project_relation=True on the embedder)"
+            )
+
+    @property
+    def meta(self) -> DatasetMeta:
+        return self.embedder.meta
+
+    def init(self, rng: jax.Array) -> Variables:
+        return self.embedder.init(rng)
+
+    # ------------------------------------------------------------------ fwd
+
+    def _relation_for_query(self, r: jax.Array) -> jax.Array:
+        if self.scorer == "rescal":
+            d = self.embedder.entity_dim
+            return r.reshape(-1, d, d)
+        return r
+
+    def queries(
+        self,
+        variables: Variables,
+        ent_ids: jax.Array,
+        rel_ids: jax.Array,
+        is_sp: jax.Array,
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, Dict, jax.Array]:
+        """Per-row query vectors for a mixed sp/po prefix batch."""
+        r_ent = r_rel = None
+        if rng is not None:
+            r_ent, r_rel = jax.random.split(rng)
+        e, state, reg_e = self.embedder.encode_entity(
+            variables, ent_ids, is_sp=is_sp, train=train, rng=r_ent
+        )
+        variables = {**variables, "state": state}
+        r, state, reg_r = self.embedder.encode_relation(variables, rel_ids, train=train, rng=r_rel)
+        q = QUERY_FNS[self.scorer](e, self._relation_for_query(r), is_sp)
+        return q, state, reg_e + reg_r
+
+    def encode_candidates(
+        self,
+        variables: Variables,
+        cand_ids: Optional[jax.Array],
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, Dict, jax.Array]:
+        """Encode the candidate label space.
+
+        ``cand_ids None`` means the full entity vocabulary minus specials
+        (ids >= meta.min_entities_size).  Candidates always use the object
+        encoding, mirroring the reference's precompute_batch_shared_inputs
+        == encode_obj convention (openkge/model.py:76-77).
+        """
+        if cand_ids is None:
+            cand_ids = jnp.arange(self.meta.min_entities_size, self.meta.entities_size)
+        return self.embedder.encode_entity(variables, cand_ids, is_sp=None, train=train, rng=rng)
+
+    def prefix_scores(
+        self,
+        variables: Variables,
+        ent_ids: jax.Array,
+        rel_ids: jax.Array,
+        is_sp: jax.Array,
+        cand_ids: Optional[jax.Array] = None,
+        cand_emb: Optional[jax.Array] = None,
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, Dict, jax.Array]:
+        """[B, N] scores; encodes candidates unless ``cand_emb`` is given."""
+        reg = jnp.zeros((), jnp.float32)
+        r_cand = r_q = None
+        if rng is not None:
+            r_cand, r_q = jax.random.split(rng)
+        if cand_emb is None:
+            cand_emb, state, reg_c = self.encode_candidates(
+                variables, cand_ids, train=train, rng=r_cand
+            )
+            variables = {**variables, "state": state}
+            reg = reg + reg_c
+        q, state, reg_q = self.queries(
+            variables, ent_ids, rel_ids, is_sp, train=train, rng=r_q
+        )
+        scores = scoring.score_against_candidates(q, cand_emb)
+        return scores, state, reg + reg_q
+
+    def triple_score(
+        self,
+        variables: Variables,
+        s_ids: jax.Array,
+        r_ids: jax.Array,
+        o_ids: jax.Array,
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, Dict, jax.Array]:
+        """Scores of explicit (s, r, o) triples — the SDDMM special case."""
+        if self.scorer not in TRIPLE_CAPABLE:
+            raise NotImplementedError(
+                f"triple_score undefined for diagnostic scorer {self.scorer} "
+                "(matches reference behaviour)"
+            )
+        r_s = r_r = r_o = None
+        if rng is not None:
+            r_s, r_r, r_o = jax.random.split(rng, 3)
+        is_sp = jnp.ones(s_ids.shape[0], dtype=bool)
+        s, state, reg_s = self.embedder.encode_entity(
+            variables, s_ids, is_sp=is_sp, train=train, rng=r_s
+        )
+        variables = {**variables, "state": state}
+        r, state, reg_r = self.embedder.encode_relation(variables, r_ids, train=train, rng=r_r)
+        variables = {**variables, "state": state}
+        o, state, reg_o = self.embedder.encode_entity(
+            variables, o_ids, is_sp=None, train=train, rng=r_o
+        )
+        q = QUERY_FNS[self.scorer](s, self._relation_for_query(r), is_sp)
+        return scoring.triple_scores(q, o), state, reg_s + reg_r + reg_o
+
+    # ---------------------------------------------------------- precompute
+
+    def encode_all_entities(
+        self, variables: Variables, chunk_size: int = 4096
+    ) -> jax.Array:
+        """Materialize candidate embeddings for every entity id (eval-time
+        cache for token-composition embedders; reference:
+        openkge/model.py:670-712).  Chunked jitted encode, eval mode."""
+        E = self.meta.entities_size
+        d = self.embedder.entity_dim
+
+        @jax.jit
+        def enc(variables, ids):
+            emb, _, _ = self.embedder.encode_entity(variables, ids, is_sp=None, train=False)
+            return emb
+
+        import numpy as np
+
+        out = np.zeros((E, d), dtype=np.float32)
+        for begin in range(0, E, chunk_size):
+            end = min(begin + chunk_size, E)
+            ids = np.arange(begin, end)
+            if end - begin < chunk_size:  # keep a single compiled shape
+                ids = np.pad(ids, (0, chunk_size - (end - begin)), constant_values=0)
+            out[begin:end] = np.asarray(enc(variables, jnp.asarray(ids)))[: end - begin]
+        return jnp.asarray(out)
+
+
+# ----------------------------------------------------------------- registry
+
+
+def _lookup(meta: DatasetMeta, scorer: str, project_relation: bool = False, **cfg) -> KGEModel:
+    cfg.pop("project_relation", None)
+    if not project_relation:
+        # LookupSimpleRelationEmbedder forces relation_slot = entity_slot and
+        # no projection (reference: openkge/model.py:545-558)
+        cfg.pop("relation_slot_size", None)
+    emb = LookupEmbedder(meta=meta, project_relation=project_relation, **cfg)
+    return KGEModel(scorer, emb)
+
+
+def _token(meta: DatasetMeta, scorer: str, family, project_relation: bool = False, **cfg) -> KGEModel:
+    cfg.pop("project_relation", None)
+    cfg.pop("input_dropout", None)  # token embedders have no input dropout stage
+    emb = family(meta=meta, project_relation=project_relation, **cfg)
+    return KGEModel(scorer, emb)
+
+
+MODELS: Dict[str, Callable[..., KGEModel]] = {
+    # lookup family (reference: openkge/model.py:1001-1014)
+    "LookupComplexRelationModel": lambda meta, **cfg: _lookup(meta, "complex", **cfg),
+    "LookupDistmultRelationModel": lambda meta, **cfg: _lookup(meta, "distmult", **cfg),
+    "LookupTucker3RelationModel": lambda meta, **cfg: _lookup(
+        meta, "rescal", project_relation=True, **cfg
+    ),
+    # token families (reference: openkge/model.py:1016-1049)
+    "UnigramPoolingComplexRelationModel": lambda meta, **cfg: _token(
+        meta, "complex", UnigramPoolingEmbedder, **cfg
+    ),
+    "BigramPoolingComplexRelationModel": lambda meta, **cfg: _token(
+        meta, "complex", BigramPoolingEmbedder, **cfg
+    ),
+    "LSTMComplexRelationModel": lambda meta, **cfg: _token(meta, "complex", LSTMEmbedder, **cfg),
+    "LSTMDistmultRelationModel": lambda meta, **cfg: _token(meta, "distmult", LSTMEmbedder, **cfg),
+    "LSTMTucker3RelationModel": lambda meta, **cfg: _token(
+        meta, "rescal", LSTMEmbedder, project_relation=True, **cfg
+    ),
+    # data-bias diagnostics (reference: openkge/model.py:1036-1044)
+    "DataBiasOnlyEntityModel": lambda meta, **cfg: _token(meta, "bias_entity", LSTMEmbedder, **cfg),
+    "DataBiasOnlyRelationModel": lambda meta, **cfg: _token(
+        meta, "bias_relation", LSTMEmbedder, **cfg
+    ),
+}
+
+
+def build_model(name: str, meta: DatasetMeta, **model_config) -> KGEModel:
+    if name not in MODELS:
+        raise KeyError(f"unknown model {name}; available: {sorted(MODELS)}")
+    return MODELS[name](meta, **model_config)

@@ -1,0 +1,83 @@
+"""Vectorized filtered ranking — the eval half of the step library.
+
+The reference computes ranks in a python loop over prefixes, repeating and
+masking [num_golds, N] tensors per prefix (reference: openkge/dataset.py:423-453).
+Here the whole batch ranks in-graph:
+
+* ``true[g]`` = max over the gold's mention-alternative columns of the raw
+  scores (credit the best alternative; reference :436-438),
+* filtered scores = scores with every known-true cell set to -1e8
+  (reference :440) and padding cells to -inf,
+* ``rank[g]`` = #(filtered > true) + #(filtered == true) // 2
+  (reference tie handling :441-445),
+
+all as one gather + two masked row-reductions.  Per-prefix averaging in the
+reference's meters cancels algebraically to a mean over golds (update with
+value S_p/G_p and weight G_p accumulates S_p and G_p), so the host only
+needs per-gold ranks and the gold count.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+FILTER_VALUE = -1e8  # reference filter mask value (openkge/dataset.py:440)
+
+
+def scatter_mask(rows: jax.Array, cols: jax.Array, num_rows: int, num_cols: int) -> jax.Array:
+    """[B, N] boolean mask from (row, col) pairs (-1 padded)."""
+    valid = rows >= 0
+    r = jnp.where(valid, rows, 0)
+    c = jnp.where(valid, cols, 0)
+    mask = jnp.zeros((num_rows, num_cols), bool)
+    return mask.at[r, c].max(valid)
+
+
+def ranks_from_scores(
+    scores: jax.Array,  # [B, N] raw prediction scores
+    filter_rows: jax.Array,  # [F] int32 (-1 pad)
+    filter_cols: jax.Array,  # [F]
+    gold_rows: jax.Array,  # [G] int32 (-1 pad)
+    gold_mention_cols: jax.Array,  # [G, A] int32 (-1 pad)
+    col_valid: Optional[jax.Array],  # [N] bool or None
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (ranks [G] int32, gold_valid [G] bool)."""
+    B, N = scores.shape
+    gold_valid = gold_rows >= 0
+    g_rows = jnp.where(gold_valid, gold_rows, 0)
+
+    # best alternative-mention score per gold (raw, unfiltered; -inf padding)
+    m_valid = gold_mention_cols >= 0
+    m_cols = jnp.where(m_valid, gold_mention_cols, 0)
+    gscores = scores[g_rows[:, None], m_cols]  # [G, A]
+    true = jnp.max(jnp.where(m_valid, gscores, -jnp.inf), axis=1)  # [G]
+
+    fmask = scatter_mask(filter_rows, filter_cols, B, N)
+    filtered = jnp.where(fmask, FILTER_VALUE, scores)
+    if col_valid is not None:
+        filtered = jnp.where(col_valid[None, :], filtered, -jnp.inf)
+
+    frow = filtered[g_rows]  # [G, N]
+    false_pos = jnp.sum(frow > true[:, None], axis=1)
+    equals = jnp.sum(frow == true[:, None], axis=1)
+    ranks = false_pos + equals // 2
+    return ranks.astype(jnp.int32), gold_valid
+
+
+def metric_sums_from_ranks(ranks: jax.Array, gold_valid: jax.Array) -> Dict[str, jax.Array]:
+    """Summed metric contributions over valid golds (host divides by count)."""
+    v = gold_valid
+    r = ranks
+    z = lambda x: jnp.sum(jnp.where(v, x, 0.0))
+    return {
+        "count": jnp.sum(v.astype(jnp.int32)),
+        "mrr": z(1.0 / (r + 1.0)),
+        "mr": z(r.astype(jnp.float32)),
+        "h50": z((r < 50).astype(jnp.float32)),
+        "h10": z((r < 10).astype(jnp.float32)),
+        "h3": z((r < 3).astype(jnp.float32)),
+        "h1": z((r < 1).astype(jnp.float32)),
+    }

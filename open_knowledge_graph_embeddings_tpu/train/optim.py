@@ -1,0 +1,340 @@
+"""Optimizer regimes with torch-matching update rules.
+
+Capability equivalent of the reference's OptimRegime
+(reference: utils/optim.py:14-218): a list of phase dicts
+``{'epoch'/'step', 'optimizer', 'lr', ...}`` switched during training, with
+multiple independent regimes selected by param-name regex ``match`` — i.e.
+per-parameter-group optimizer configurations.
+
+TPU-native shape: the update *rules* are pure functions applied inside the
+jitted train step; hyperparameters (lr, weight decay, ...) enter as traced
+scalars so phase changes and plateau-scheduler scaling never trigger
+recompilation.  Only an optimizer *type* switch rebuilds the step (rare,
+and the reference also resets optimizer state in that case —
+utils/optim.py:143-146 constructs a fresh torch optimizer).
+
+Update rules replicate torch.optim semantics exactly (verified by unit
+tests against torch on CPU): Adagrad (lr_decay, eps=1e-10, additive weight
+decay), Adam, SGD(momentum, nesterov), RMSprop, Adadelta.
+"""
+
+from __future__ import annotations
+
+import logging
+import re
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger(__name__)
+
+Params = Any
+State = Any
+HParams = Dict[str, jax.Array]
+
+
+# ------------------------------------------------------------- update rules
+
+
+def _adagrad_init(p):
+    return {"sum": jnp.zeros_like(p), "step": jnp.zeros((), jnp.float32)}
+
+
+def _adagrad_update(g, s, p, hp):
+    step = s["step"] + 1.0
+    g = g + hp["weight_decay"] * p
+    clr = hp["lr"] / (1.0 + (step - 1.0) * hp["lr_decay"])
+    acc = s["sum"] + g * g
+    update = -clr * g / (jnp.sqrt(acc) + hp["eps"])
+    return update, {"sum": acc, "step": step}
+
+
+def _adam_init(p):
+    return {
+        "m": jnp.zeros_like(p),
+        "v": jnp.zeros_like(p),
+        "step": jnp.zeros((), jnp.float32),
+    }
+
+
+def _adam_update(g, s, p, hp):
+    step = s["step"] + 1.0
+    g = g + hp["weight_decay"] * p
+    b1, b2 = hp["beta1"], hp["beta2"]
+    m = b1 * s["m"] + (1 - b1) * g
+    v = b2 * s["v"] + (1 - b2) * g * g
+    m_hat = m / (1 - b1 ** step)
+    v_hat = v / (1 - b2 ** step)
+    update = -hp["lr"] * m_hat / (jnp.sqrt(v_hat) + hp["eps"])
+    return update, {"m": m, "v": v, "step": step}
+
+
+def _sgd_init(p):
+    return {"momentum": jnp.zeros_like(p), "step": jnp.zeros((), jnp.float32)}
+
+
+def _sgd_update(g, s, p, hp):
+    g = g + hp["weight_decay"] * p
+    buf = hp["momentum"] * s["momentum"] + g
+    g_eff = jnp.where(hp["nesterov"] > 0, g + hp["momentum"] * buf, buf)
+    # momentum == 0 -> plain SGD (torch skips the buffer entirely)
+    g_eff = jnp.where(hp["momentum"] > 0, g_eff, g)
+    return -hp["lr"] * g_eff, {"momentum": buf, "step": s["step"] + 1.0}
+
+
+def _rmsprop_init(p):
+    return {"sq": jnp.zeros_like(p), "momentum": jnp.zeros_like(p), "step": jnp.zeros((), jnp.float32)}
+
+
+def _rmsprop_update(g, s, p, hp):
+    g = g + hp["weight_decay"] * p
+    sq = hp["alpha"] * s["sq"] + (1 - hp["alpha"]) * g * g
+    avg = jnp.sqrt(sq) + hp["eps"]
+    buf = hp["momentum"] * s["momentum"] + g / avg
+    update = jnp.where(hp["momentum"] > 0, -hp["lr"] * buf, -hp["lr"] * g / avg)
+    return update, {"sq": sq, "momentum": buf, "step": s["step"] + 1.0}
+
+
+def _adadelta_init(p):
+    return {"sq": jnp.zeros_like(p), "acc_delta": jnp.zeros_like(p), "step": jnp.zeros((), jnp.float32)}
+
+
+def _adadelta_update(g, s, p, hp):
+    g = g + hp["weight_decay"] * p
+    rho, eps = hp["rho"], hp["eps"]
+    sq = rho * s["sq"] + (1 - rho) * g * g
+    delta = jnp.sqrt(s["acc_delta"] + eps) / jnp.sqrt(sq + eps) * g
+    acc_delta = rho * s["acc_delta"] + (1 - rho) * delta * delta
+    return -hp["lr"] * delta, {"sq": sq, "acc_delta": acc_delta, "step": s["step"] + 1.0}
+
+
+_RULES: Dict[str, Tuple[Callable, Callable, Dict[str, float]]] = {
+    "Adagrad": (_adagrad_init, _adagrad_update,
+                dict(lr=0.01, lr_decay=0.0, weight_decay=0.0, eps=1e-10)),
+    "Adam": (_adam_init, _adam_update,
+             dict(lr=1e-3, beta1=0.9, beta2=0.999, eps=1e-8, weight_decay=0.0)),
+    "SGD": (_sgd_init, _sgd_update,
+            dict(lr=0.01, momentum=0.0, weight_decay=0.0, nesterov=0.0)),
+    "RMSprop": (_rmsprop_init, _rmsprop_update,
+                dict(lr=0.01, alpha=0.99, eps=1e-8, weight_decay=0.0, momentum=0.0)),
+    "Adadelta": (_adadelta_init, _adadelta_update,
+                 dict(lr=1.0, rho=0.9, eps=1e-6, weight_decay=0.0)),
+}
+
+_HP_ALIASES = {"betas": None, "eps": "eps"}
+
+
+def _phase_hparams(opt_name: str, phase: Dict) -> Dict[str, float]:
+    """Full hyperparameter dict for one regime phase (defaults + overrides)."""
+    hp = dict(_RULES[opt_name][2])
+    for k, v in phase.items():
+        if k in ("optimizer", "epoch", "step", "match", "lr_decay") and k != "lr_decay":
+            continue
+        if k == "betas":
+            hp["beta1"], hp["beta2"] = float(v[0]), float(v[1])
+        elif k == "nesterov":
+            hp["nesterov"] = 1.0 if v else 0.0
+        elif k in hp:
+            hp[k] = float(v)
+    return hp
+
+
+# ------------------------------------------------------------ param labels
+
+
+def _leaf_paths(params: Params) -> List[str]:
+    paths = []
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    for kp, _ in flat:
+        paths.append("/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp))
+    return paths
+
+
+def assign_regimes(params: Params, regime_matches: Sequence[Optional[str]]) -> Any:
+    """Pytree of int regime indices per leaf (-1 = not optimized).
+
+    Each leaf goes to the first regime whose ``match`` regex hits its
+    slash-joined path (None matches everything) — reference semantics with
+    the documented restriction that a param belongs to one regime.
+    """
+
+    def label(kp, _leaf):
+        path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        for i, pattern in enumerate(regime_matches):
+            if pattern is None or re.search(pattern, path) is not None:
+                return i
+        return -1
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+# ----------------------------------------------------------------- regimes
+
+
+class OptimizerRegimes:
+    """A set of per-param-group phase-switched optimizers."""
+
+    def __init__(self, optimization_config, lr_scheduler_config=None):
+        # normalize: list of regimes, each a list of phase dicts
+        if isinstance(optimization_config, dict):
+            optimization_config = [optimization_config]
+        self.regimes: List[List[Dict]] = []
+        self.matches: List[Optional[str]] = []
+        for rc in optimization_config:
+            phases = rc if isinstance(rc, list) else [dict(rc)]
+            phases = [dict(p) for p in phases]
+            for p in phases:
+                p.setdefault("epoch", 0)
+            self.regimes.append(phases)
+            self.matches.append(phases[0].get("match"))
+        if lr_scheduler_config is None:
+            lr_scheduler_config = [None] * len(self.regimes)
+        elif isinstance(lr_scheduler_config, dict):
+            lr_scheduler_config = [lr_scheduler_config]
+        self.lr_scheduler_config = lr_scheduler_config
+        self.current_phase = [None] * len(self.regimes)
+        self.lr_scale = [1.0] * len(self.regimes)
+        self._plateau_state = [None] * len(self.regimes)
+
+    # -- host-side phase logic (reference: utils/optim.py:104-134)
+
+    def phase_for(self, ri: int, epoch: int, steps: int) -> int:
+        phases = self.regimes[ri]
+        current = self.current_phase[ri]
+        if current is None:
+            current = 0
+            for i, ph in enumerate(phases):
+                if epoch >= ph.get("epoch", 0) or steps >= ph.get("step", 0):
+                    current = i
+                    break
+        if current + 1 < len(phases):
+            nxt = phases[current + 1]
+            if epoch >= nxt.get("epoch", float("inf")) or steps >= nxt.get("step", float("inf")):
+                current += 1
+        return current
+
+    def update(self, epoch: int, steps: int) -> bool:
+        """Advance phases; returns True if any optimizer *type* changed
+        (caller must rebuild the step function and reset that regime's state)."""
+        type_changed = False
+        for ri in range(len(self.regimes)):
+            new_phase = self.phase_for(ri, epoch, steps)
+            old = self.current_phase[ri]
+            if old is None or new_phase != old:
+                old_name = None if old is None else self.opt_name(ri, old)
+                if old is not None and self.opt_name(ri, new_phase) != old_name:
+                    type_changed = True
+                if old is not None:
+                    logger.info(
+                        "OPTIMIZER regime %d phase -> %s", ri, self.regimes[ri][new_phase]
+                    )
+                self.current_phase[ri] = new_phase
+        return type_changed
+
+    def opt_name(self, ri: int, phase: Optional[int] = None) -> str:
+        phase = self.current_phase[ri] if phase is None else phase
+        phases = self.regimes[ri]
+        for i in range(phase if phase is not None else 0, -1, -1):
+            if "optimizer" in phases[i]:
+                return phases[i]["optimizer"]
+        return "Adam"  # reference default placeholder (utils/optim.py:29)
+
+    def opt_names(self) -> List[str]:
+        return [self.opt_name(ri) for ri in range(len(self.regimes))]
+
+    def hparams(self) -> List[Dict[str, float]]:
+        out = []
+        for ri in range(len(self.regimes)):
+            phase = self.current_phase[ri] or 0
+            hp = _phase_hparams(self.opt_name(ri), self.regimes[ri][phase])
+            hp["lr"] *= self.lr_scale[ri]
+            out.append(hp)
+        return out
+
+    # -- plateau scheduler (subset of torch ReduceLROnPlateau)
+
+    def lr_scheduler_step(self, metric_value: float, greater_is_better: bool = True) -> None:
+        for ri, cfg in enumerate(self.lr_scheduler_config):
+            if not cfg or cfg.get("lr_scheduler") != "ReduceLROnPlateau":
+                continue
+            factor = float(cfg.get("factor", 0.1))
+            patience = int(cfg.get("patience", 10))
+            st = self._plateau_state[ri] or {"best": None, "bad": 0}
+            better = st["best"] is None or (
+                metric_value > st["best"] if greater_is_better else metric_value < st["best"]
+            )
+            if better:
+                st["best"], st["bad"] = metric_value, 0
+            else:
+                st["bad"] += 1
+                if st["bad"] > patience:
+                    self.lr_scale[ri] *= factor
+                    st["bad"] = 0
+                    logger.info("ReduceLROnPlateau: regime %d lr_scale -> %g", ri, self.lr_scale[ri])
+            self._plateau_state[ri] = st
+
+    # -- device-side init/apply
+
+    def init_state(self, params: Params) -> State:
+        labels = assign_regimes(params, self.matches)
+        names = self.opt_names()
+
+        def init_leaf(lbl, p):
+            if lbl < 0:
+                return {}
+            return _RULES[names[lbl]][0](p)
+
+        return jax.tree_util.tree_map(init_leaf, labels, params)
+
+    def make_apply(self, params_example: Params, grad_clip: Optional[float] = None):
+        """Build the pure (grads, state, params, hparams) -> (new_params,
+        new_state) update function; staged into the jitted train step."""
+        labels = assign_regimes(params_example, self.matches)
+        names = self.opt_names()
+
+        def apply(grads, state, params, hparams: List[HParams]):
+            if grad_clip is not None and grad_clip > 0:
+                leaves = jax.tree_util.tree_leaves(grads)
+                gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in leaves))
+                scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-6))
+                grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+
+            def upd(lbl, g, s, p):
+                if lbl < 0:
+                    return p, s
+                update_fn = _RULES[names[lbl]][1]
+                delta, new_s = update_fn(g, s, p, hparams[lbl])
+                return p + delta, new_s
+
+            out = jax.tree_util.tree_map(
+                upd, labels, grads, state, params,
+                is_leaf=lambda x: isinstance(x, int),
+            )
+            # out is a pytree of (param, state) tuples at leaf positions
+            new_params = jax.tree_util.tree_map(
+                lambda t: t[0], out, is_leaf=lambda x: isinstance(x, tuple)
+            )
+            new_state = jax.tree_util.tree_map(
+                lambda t: t[1], out, is_leaf=lambda x: isinstance(x, tuple)
+            )
+            return new_params, new_state
+
+        return apply
+
+    # -- checkpointing
+
+    def host_state(self) -> Dict:
+        return {
+            "current_phase": list(self.current_phase),
+            "lr_scale": list(self.lr_scale),
+            "plateau": [dict(s) if s else None for s in self._plateau_state],
+            "regimes": self.regimes,
+        }
+
+    def load_host_state(self, d: Dict, reset: bool = False) -> None:
+        self.regimes = d.get("regimes", self.regimes)
+        if not reset:
+            self.current_phase = d["current_phase"]
+            self.lr_scale = d["lr_scale"]
+            self._plateau_state = d["plateau"]

@@ -1,0 +1,164 @@
+"""Jitted train/eval step builders.
+
+One training step = candidate encode + query encode + one [B,d]x[d,N]
+score matmul + on-device label scatter + loss + backward + optimizer
+update, compiled as a single XLA program.  The reference spreads this over
+python (collate workers building dense labels, AddLossModule, autograd,
+torch optimizers; reference: openkge/trainer.py:181-257); here the host
+only ships index arrays and scalars.
+
+Static-shape policy: batches arrive pre-bucketed (see data/batching.py), so
+each distinct shape signature compiles once.  Data-dependent scalars
+(loss normalizer, real candidate count) are traced values — they never
+trigger recompilation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open_knowledge_graph_embeddings_tpu.data.batching import Batch
+from open_knowledge_graph_embeddings_tpu.models.embedders import zero_pad_row_grads
+from open_knowledge_graph_embeddings_tpu.models.model import KGEModel
+from open_knowledge_graph_embeddings_tpu.train.evaluate import (
+    metric_sums_from_ranks,
+    ranks_from_scores,
+)
+from open_knowledge_graph_embeddings_tpu.train.loss import one_vs_n_loss
+from open_knowledge_graph_embeddings_tpu.train.optim import OptimizerRegimes
+
+
+def train_batch_to_arrays(batch: Batch) -> Dict[str, Any]:
+    """Convert a host Batch to the jit-ready array dict (train fields)."""
+    d = {
+        "ent_ids": batch.ent_ids,
+        "rel_ids": batch.rel_ids,
+        "is_sp": batch.is_sp,
+        "row_valid": batch.row_valid,
+        "pos_rows": batch.pos_rows,
+        "pos_cols": batch.pos_cols,
+        "normalizer_loss": np.float32(batch.normalizer_loss),
+        "n_real_cols": np.float32(batch.num_cols),
+    }
+    if batch.candidate_ids is not None:
+        d["candidate_ids"] = batch.candidate_ids
+        d["col_valid"] = batch.col_valid
+    return d
+
+
+def eval_batch_to_arrays(batch: Batch) -> Dict[str, Any]:
+    d = train_batch_to_arrays(batch)
+    d["filter_rows"] = batch.filter_rows
+    d["filter_cols"] = batch.filter_cols
+    d["gold_rows"] = batch.gold_rows
+    d["gold_mention_cols"] = batch.gold_mention_cols
+    return d
+
+
+def make_train_step(
+    model: KGEModel,
+    regimes: OptimizerRegimes,
+    params_example,
+    loss_type: str = "bce",
+    label_smoothing: float = 0.0,
+    grad_clip: Optional[float] = None,
+):
+    """Returns jitted ``step(variables, opt_state, hparams, batch, rng)``
+    -> (variables, opt_state, stats dict)."""
+    apply_updates = regimes.make_apply(params_example, grad_clip)
+    pad_tables = model.embedder.pad_frozen_tables
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(variables, opt_state, hparams, batch, rng):
+        state, buffers = variables["state"], variables["buffers"]
+        cand_ids = batch.get("candidate_ids")
+        col_valid = batch.get("col_valid")
+
+        def loss_fn(params):
+            v = {"params": params, "state": state, "buffers": buffers}
+            scores, new_state, reg = model.prefix_scores(
+                v,
+                batch["ent_ids"],
+                batch["rel_ids"],
+                batch["is_sp"],
+                cand_ids=cand_ids,
+                train=True,
+                rng=rng,
+            )
+            loss_sum, norm_metric = one_vs_n_loss(
+                loss_type,
+                scores,
+                batch["pos_rows"],
+                batch["pos_cols"],
+                batch["row_valid"],
+                col_valid,
+                batch["n_real_cols"],
+                label_smoothing,
+            )
+            backward = (loss_sum + reg) / batch["normalizer_loss"]
+            return backward, (new_state, loss_sum, norm_metric)
+
+        grads, (new_state, loss_sum, norm_metric) = jax.grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        grads = zero_pad_row_grads(grads, pad_tables)
+        new_params, new_opt_state = apply_updates(
+            grads, opt_state, variables["params"], hparams
+        )
+        new_variables = {"params": new_params, "state": new_state, "buffers": buffers}
+        stats = {"loss_sum": loss_sum, "normalizer_metric": norm_metric}
+        return new_variables, new_opt_state, stats
+
+    return step
+
+
+def make_eval_step(model: KGEModel, loss_type: str = "bce", label_smoothing: float = 0.0):
+    """Returns jitted ``eval_step(variables, batch, cand_emb=None)`` ->
+    stats dict with loss_sum, normalizer_metric and summed rank metrics.
+
+    ``cand_emb`` (optional) is a precomputed [N, d] candidate matrix — the
+    token-embedder eval cache (reference: openkge/model.py:670-712); when
+    absent candidates are encoded from ids / the full vocabulary."""
+
+    @jax.jit
+    def eval_step(variables, batch, cand_emb=None):
+        cand_ids = batch.get("candidate_ids")
+        col_valid = batch.get("col_valid")
+        scores, _, _ = model.prefix_scores(
+            variables,
+            batch["ent_ids"],
+            batch["rel_ids"],
+            batch["is_sp"],
+            cand_ids=cand_ids,
+            cand_emb=cand_emb,
+            train=False,
+        )
+        loss_sum, norm_metric = one_vs_n_loss(
+            loss_type,
+            scores,
+            batch["pos_rows"],
+            batch["pos_cols"],
+            batch["row_valid"],
+            col_valid,
+            batch["n_real_cols"],
+            label_smoothing,
+        )
+        ranks, gold_valid = ranks_from_scores(
+            scores,
+            batch["filter_rows"],
+            batch["filter_cols"],
+            batch["gold_rows"],
+            batch["gold_mention_cols"],
+            col_valid,
+        )
+        stats = metric_sums_from_ranks(ranks, gold_valid)
+        stats["loss_sum"] = loss_sum
+        stats["normalizer_metric"] = norm_metric
+        return stats
+
+    return eval_step
