@@ -1,0 +1,393 @@
+"""Host-side training engine: epoch loop, eval cadence, model selection,
+early stopping, checkpoint rotation.
+
+Capability equivalent of the reference Trainer
+(reference: openkge/trainer.py:115-487), reshaped for the jitted-step world:
+the device work is a single compiled train/eval step (train/step.py); this
+class owns everything that is inherently host-side — the data iterator,
+optimizer phase switching, patience logic, checkpointing, metrics
+accumulation and throughput logging.
+
+Semantics carried over:
+
+* ``epoch`` derived from training steps: ``floor(steps / (len+1)) + 1``
+  (reference: openkge/trainer.py:173-175),
+* eval every ``eval_freq`` steps and/or every ``eval_epoch_freq`` epochs,
+* model selection on ``model_select_metric[0]`` with patience early
+  stopping and the three extra triggers (metric above max threshold, below
+  min threshold, moving-average relative change below
+  ``patience_metric_change``; reference: openkge/trainer.py:420-481),
+* gradient accumulation to ``batch_size_for_backward``
+  (reference: openkge/trainer.py:229-246),
+* items/sec = positives-per-second throughput logging
+  (reference: openkge/trainer.py:308).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from open_knowledge_graph_embeddings_tpu.data.batching import Batch, BatchBuilder
+from open_knowledge_graph_embeddings_tpu.data.dataset import OneToNMentionRelationDataset
+from open_knowledge_graph_embeddings_tpu.models.embedders import (
+    LookupEmbedder,
+    TokenEmbedderBase,
+)
+from open_knowledge_graph_embeddings_tpu.models.model import KGEModel
+from open_knowledge_graph_embeddings_tpu.train.checkpoint import CheckpointManager, load_checkpoint
+from open_knowledge_graph_embeddings_tpu.train.metrics import MetricResult
+from open_knowledge_graph_embeddings_tpu.train.optim import OptimizerRegimes
+from open_knowledge_graph_embeddings_tpu.train.step import (
+    eval_batch_to_arrays,
+    make_eval_step,
+    make_train_step,
+    train_batch_to_arrays,
+)
+from open_knowledge_graph_embeddings_tpu.utils.logging_utils import ResultsLog
+
+logger = logging.getLogger(__name__)
+
+
+def running_mean(new, old=None, momentum=0.9):
+    return new if old is None else momentum * old + (1 - momentum) * new
+
+
+class Trainer:
+    def __init__(
+        self,
+        args: Dict[str, Any],
+        model: KGEModel,
+        train_dataset: OneToNMentionRelationDataset,
+        validation_dataset: Optional[OneToNMentionRelationDataset],
+        save_path: str = ".",
+        keep_checkpoints: int = 5,
+        mesh=None,
+        variables=None,
+    ):
+        self.args = args
+        self.model = model
+        self.train_dataset = train_dataset
+        self.validation_dataset = validation_dataset
+        self.mesh = mesh
+
+        seed = int(args.get("seed") or 0)
+        self.rng_key = jax.random.key(seed if seed > 0 else 0)
+        self.variables = variables if variables is not None else model.init(
+            jax.random.key(seed if seed > 0 else 0)
+        )
+
+        self.loss_type = args.get("experiment_settings", {}).get("loss", "bce")
+        self.label_smoothing = float(args.get("bce_label_smoothing") or 0.0)
+        grad_clip = args.get("grad_clip")
+        self.grad_clip = float(grad_clip) if grad_clip else None
+
+        self.regimes = OptimizerRegimes(
+            args["optimization_config"], args.get("lr_scheduler_config")
+        )
+        self.regimes.update(1, 0)
+        self.opt_state = self.regimes.init_state(self.variables["params"])
+        self._rebuild_steps()
+
+        self.train_builder = BatchBuilder(train_dataset, seed=seed)
+        self.val_builder = (
+            BatchBuilder(validation_dataset) if validation_dataset is not None else None
+        )
+
+        self.ckpt = CheckpointManager(save_path, keep_checkpoints)
+        self.results = ResultsLog(f"{save_path}/results.csv")
+        self.save_path = save_path
+
+        self.training_steps = 0
+        self.len_train_batches = max(len(self.train_builder), 1)
+        self.terminate = False
+        self.terminate_epochs = args.get("patience_epochs", 50)
+        self.best_validation_results = MetricResult()
+        self.last_validation_metric = None
+        self.moving_average_metric_change = None
+        self._save_epoch_counter = 0
+
+        bsz = train_dataset.batch_size
+        bsfb = args.get("batch_size_for_backward") or train_dataset.batch_size_for_backward
+        self.accum_steps = max(1, int(round((bsfb or bsz) / bsz)))
+        if self.accum_steps > 1:
+            logger.info("gradient accumulation over %d micro-batches", self.accum_steps)
+
+    # ------------------------------------------------------------------ setup
+
+    def _rebuild_steps(self):
+        self.train_step = make_train_step(
+            self.model,
+            self.regimes,
+            self.variables["params"],
+            loss_type=self.loss_type,
+            label_smoothing=self.label_smoothing,
+            grad_clip=self.grad_clip,
+        )
+        self.eval_step = make_eval_step(self.model, self.loss_type, self.label_smoothing)
+
+    @property
+    def epoch(self) -> int:
+        return math.floor(self.training_steps / (self.len_train_batches + 1)) + 1
+
+    def _hp(self):
+        return [{k: jnp.float32(v) for k, v in h.items()} for h in self.regimes.hparams()]
+
+    # ------------------------------------------------------------------ train
+
+    def train_epoch(self, val_hook=None) -> MetricResult:
+        """One pass over the training data; calls ``val_hook()`` at
+        ``eval_freq`` step boundaries."""
+        metric_result = MetricResult()
+        items_meter_n = 0.0
+        items_meter_t = 1e-9
+        epoch_start = time.time()
+        batch_start = time.time()
+        eval_freq = self.args.get("eval_freq") or 0
+        print_freq = self.args.get("print_freq") or 100
+        save_freq = self.args.get("save_freq") or -1
+
+        n_batches = len(self.train_builder)
+        self.len_train_batches = max(n_batches, 1)
+
+        for step_i, batch in enumerate(self.train_builder.batches(shuffle=True)):
+            self.training_steps += 1
+            if self.regimes.update(self.epoch, self.training_steps):
+                # optimizer type changed: fresh state + rebuilt step
+                self.opt_state = self.regimes.init_state(self.variables["params"])
+                self._rebuild_steps()
+
+            self.rng_key, sub = jax.random.split(self.rng_key)
+            self.variables, self.opt_state, stats = self.train_step(
+                self.variables, self.opt_state, self._hp(), train_batch_to_arrays(batch), sub
+            )
+            loss = float(stats["loss_sum"]) / batch.normalizer_loss
+            n_pos = float(stats["normalizer_metric"])
+            metric_result["loss"].update(loss, batch.normalizer_loss)
+            dt = time.time() - batch_start
+            items_meter_n += n_pos
+            items_meter_t += dt
+            batch_start = time.time()
+
+            last = step_i == n_batches - 1
+            if (step_i > 0 or last) and (step_i % print_freq == 0 or last):
+                logger.info(
+                    "TRAINING - EPOCH [%3d][%6d/%d]  time: %7.3f  items/sec: (%.0f)  loss: %.7f",
+                    self.epoch,
+                    step_i,
+                    n_batches,
+                    time.time() - epoch_start,
+                    items_meter_n / items_meter_t,
+                    metric_result["loss"].avg,
+                )
+            if save_freq > 0 and step_i > 0 and step_i % save_freq == 0:
+                self.save()
+            if val_hook is not None and eval_freq > 0 and step_i > 0 and step_i % eval_freq == 0:
+                val_hook(last_step_of_epoch=False)
+        return metric_result
+
+    # ------------------------------------------------------------------- eval
+
+    def _candidate_cache(self):
+        """Precompute the [N, d] candidate matrix for token embedders at
+        full-vocab eval (reference: openkge/model.py:670-712)."""
+        ds = self.validation_dataset
+        if ds is None or ds.use_batch_shared_entities:
+            return None
+        if isinstance(self.model.embedder, TokenEmbedderBase):
+            all_emb = self.model.encode_all_entities(self.variables)
+            return all_emb[self.model.meta.min_entities_size :]
+        return None
+
+    def evaluate(self, builder: Optional[BatchBuilder] = None) -> MetricResult:
+        builder = builder or self.val_builder
+        assert builder is not None, "no validation dataset"
+        result = MetricResult()
+        cand_emb = self._candidate_cache()
+        t0 = time.time()
+        for batch in builder.batches(shuffle=False):
+            arrays = eval_batch_to_arrays(batch)
+            if cand_emb is not None:
+                stats = self.eval_step(self.variables, arrays, cand_emb)
+            else:
+                stats = self.eval_step(self.variables, arrays)
+            cnt = int(stats["count"])
+            if cnt > 0:
+                for m in ("mrr", "mr", "h1", "h3", "h10", "h50"):
+                    result[m].update(float(stats[m]) / cnt, cnt)
+            result["loss"].update(
+                float(stats["loss_sum"]) / batch.normalizer_loss, batch.normalizer_loss
+            )
+        logger.info(
+            "EVALUATING - EPOCH [%3d]  time: %7.3f  METRICS  %s",
+            self.epoch, time.time() - t0, result.averages,
+        )
+        return result
+
+    # ------------------------------------------------------ selection logic
+
+    def _check_early_stopping(self, validation_results: MetricResult, results_row: Dict):
+        args = self.args
+        one_improved = False
+        metric_improved = {}
+        best_tags: List[str] = []
+        for name, meter in validation_results.items():
+            metric_improved[name] = False
+            if meter.avg_better_than(self.best_validation_results[name]):
+                if name in args["model_select_metric"]:
+                    best_tags.append(name)
+                    one_improved = True
+                self.best_validation_results[name] = meter
+                metric_improved[name] = True
+            results_row[f"validation_{name}"] = meter.avg
+
+        select = args["model_select_metric"][0]
+        if self.last_validation_metric is None:
+            self.last_validation_metric = validation_results[select]
+        elif validation_results[select].avg > 0:
+            self.moving_average_metric_change = running_mean(
+                math.fabs(
+                    (self.last_validation_metric.avg - validation_results[select].avg)
+                    / validation_results[select].avg
+                ),
+                self.moving_average_metric_change,
+            )
+
+        exceeds_max = bool(args.get("patience_metric_max_treshold")) and validation_results[
+            select
+        ].avg_better_than_float(args["patience_metric_max_treshold"])
+        below_min = bool(args.get("patience_metric_min_treshold")) and not validation_results[
+            select
+        ].avg_better_than_float(args["patience_metric_min_treshold"])
+        minimal_change = (
+            bool(args.get("patience_metric_change"))
+            and self.moving_average_metric_change is not None
+            and self.moving_average_metric_change < args["patience_metric_change"]
+        )
+
+        if exceeds_max or below_min or minimal_change or not metric_improved[select]:
+            reasons = [
+                r
+                for r, f in [
+                    ("metric_exceeds_critical_treshold", exceeds_max),
+                    ("metric_not_achieving_critical_treshold", below_min),
+                    ("metric_has_minimal_change", minimal_change),
+                    ("metric has not improved", not metric_improved[select]),
+                ]
+                if f
+            ]
+            logger.info(
+                "Loosing patience with %s in epoch %d because %s",
+                select, self.epoch, " and ".join(reasons),
+            )
+            if self.epoch >= self.terminate_epochs:
+                self.terminate = True
+        else:
+            self.terminate_epochs = self.epoch + args["patience_epochs"]
+
+        self.regimes.lr_scheduler_step(
+            validation_results[select].avg,
+            greater_is_better=validation_results[select].greater_is_better,
+        )
+        return one_improved, best_tags
+
+    # -------------------------------------------------------------- run loop
+
+    def run(self):
+        """Train until epochs exhausted or early stopping fires."""
+        epochs = self.args.get("epochs", 100)
+        eval_epoch_freq = self.args.get("eval_epoch_freq") or 0
+        save_epoch_freq = self.args.get("save_epoch_freq") or 0
+
+        def val_hook(last_step_of_epoch: bool):
+            if self.val_builder is None:
+                return
+            validation_results = self.evaluate()
+            row = {
+                "epoch": self.epoch,
+                "training_steps": self.training_steps,
+            }
+            improved, tags = self._check_early_stopping(validation_results, row)
+            if last_step_of_epoch and save_epoch_freq and (
+                self._save_epoch_counter % save_epoch_freq == save_epoch_freq - 1
+            ):
+                self.save(save_all=True, is_best=improved, tags=tags if improved else None)
+            self.results.add(**row)
+            self.results.save()
+
+        while self.epoch < epochs and not self.terminate:
+            self._save_epoch_counter += 1
+            train_result = self.train_epoch(val_hook=val_hook)
+            row = {
+                "epoch": self.epoch,
+                "training_steps": self.training_steps,
+                "training_loss": train_result["loss"].avg,
+            }
+            self.results.add(**row)
+            if self.val_builder is not None and (
+                eval_epoch_freq and self.epoch % eval_epoch_freq == 0
+            ):
+                val_hook(last_step_of_epoch=True)
+            self.results.save()
+
+    # ---------------------------------------------------------- persistence
+
+    def save(self, is_best=False, tags=None, save_all=False):
+        meta = {
+            "epoch": self.epoch,
+            "training_steps": self.training_steps,
+            "config": _jsonable(self.args),
+            "optimizer_host_state": self.regimes.host_state(),
+            "results": self.results.to_dicts(),
+        }
+        return self.ckpt.save(
+            self.variables, self.opt_state, meta, is_best=is_best, tags=tags, save_all=save_all
+        )
+
+    def load(
+        self,
+        path: str,
+        reset_optimizer: bool = False,
+        resume_filter=None,
+        freeze_param=None,
+        weight_map=None,
+        dont_load_optimizer: bool = False,
+    ):
+        self.variables, self.opt_state, meta = load_checkpoint(
+            path,
+            self.variables,
+            self.opt_state,
+            resume_filter=resume_filter,
+            weight_map=weight_map,
+            load_optimizer=not (reset_optimizer or dont_load_optimizer),
+        )
+        self.training_steps = int(meta.get("training_steps", 0))
+        host = meta.get("optimizer_host_state")
+        if host:
+            self.regimes.load_host_state(host, reset=reset_optimizer)
+        if freeze_param:
+            logger.warning(
+                "freeze_param is applied through optimization_config 'match' regexes "
+                "in this framework; ignoring %s", freeze_param,
+            )
+        return meta
+
+
+def _jsonable(obj):
+    import json
+
+    try:
+        json.dumps(obj)
+        return obj
+    except TypeError:
+        if isinstance(obj, dict):
+            return {k: _jsonable(v) for k, v in obj.items()}
+        if isinstance(obj, (list, tuple)):
+            return [_jsonable(v) for v in obj]
+        return str(obj)

@@ -1,0 +1,135 @@
+"""Optimizer update rules vs torch.optim, and regime phase switching."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from open_knowledge_graph_embeddings_tpu.train.optim import (
+    OptimizerRegimes,
+    assign_regimes,
+)
+
+
+def _run_parity(opt_name, torch_opt_fn, phase, steps=5, shapes=((4, 3), (7,))):
+    rng = np.random.default_rng(0)
+    params_np = [rng.standard_normal(s).astype(np.float32) for s in shapes]
+    grads_np = [
+        [rng.standard_normal(s).astype(np.float32) for s in shapes] for _ in range(steps)
+    ]
+
+    # torch side
+    tparams = [torch.nn.Parameter(torch.tensor(p)) for p in params_np]
+    topt = torch_opt_fn(tparams)
+    for gs in grads_np:
+        topt.zero_grad()
+        for p, g in zip(tparams, gs):
+            p.grad = torch.tensor(g)
+        topt.step()
+
+    # ours
+    regimes = OptimizerRegimes(dict(phase))
+    regimes.update(1, 0)
+    params = {f"p{i}": jnp.asarray(p) for i, p in enumerate(params_np)}
+    state = regimes.init_state(params)
+    apply = regimes.make_apply(params)
+    for gs in grads_np:
+        grads = {f"p{i}": jnp.asarray(g) for i, g in enumerate(gs)}
+        hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
+        params, state = apply(grads, state, params, hp)
+
+    for i, tp in enumerate(tparams):
+        np.testing.assert_allclose(
+            np.asarray(params[f"p{i}"]), tp.detach().numpy(), rtol=1e-5, atol=1e-6,
+            err_msg=f"{opt_name} param {i}",
+        )
+
+
+def test_adagrad_matches_torch():
+    _run_parity(
+        "Adagrad",
+        lambda ps: torch.optim.Adagrad(ps, lr=0.3, weight_decay=1e-10),
+        {"optimizer": "Adagrad", "lr": 0.3, "weight_decay": 1e-10},
+    )
+
+
+def test_adagrad_lr_decay_matches_torch():
+    _run_parity(
+        "Adagrad",
+        lambda ps: torch.optim.Adagrad(ps, lr=0.1, lr_decay=0.01),
+        {"optimizer": "Adagrad", "lr": 0.1, "lr_decay": 0.01},
+    )
+
+
+def test_adam_matches_torch():
+    _run_parity(
+        "Adam",
+        lambda ps: torch.optim.Adam(ps, lr=1e-2, weight_decay=1e-4),
+        {"optimizer": "Adam", "lr": 1e-2, "weight_decay": 1e-4},
+    )
+
+
+def test_sgd_momentum_matches_torch():
+    _run_parity(
+        "SGD",
+        lambda ps: torch.optim.SGD(ps, lr=0.05, momentum=0.9),
+        {"optimizer": "SGD", "lr": 0.05, "momentum": 0.9},
+    )
+
+
+def test_phase_switch_changes_lr():
+    regimes = OptimizerRegimes(
+        [[{"epoch": 0, "optimizer": "Adagrad", "lr": 0.3}, {"epoch": 5, "lr": 0.1}]]
+    )
+    regimes.update(1, 0)
+    assert regimes.hparams()[0]["lr"] == 0.3
+    changed = regimes.update(5, 100)
+    assert not changed  # same optimizer type
+    assert regimes.hparams()[0]["lr"] == 0.1
+
+
+def test_regex_param_groups():
+    params = {"entity_embedding": jnp.zeros((2, 2)), "lstm": {"w_ih": jnp.zeros((4,))}}
+    labels = assign_regimes(params, ["entity", None])
+    assert labels["entity_embedding"] == 0
+    assert labels["lstm"]["w_ih"] == 1
+
+    regimes = OptimizerRegimes(
+        [
+            {"optimizer": "Adagrad", "lr": 1.0, "match": "entity"},
+            {"optimizer": "SGD", "lr": 0.0, "match": None},
+        ]
+    )
+    regimes.update(1, 0)
+    state = regimes.init_state(params)
+    apply = regimes.make_apply(params)
+    grads = {"entity_embedding": jnp.ones((2, 2)), "lstm": {"w_ih": jnp.ones((4,))}}
+    hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
+    new_params, _ = apply(grads, state, params, hp)
+    # entity table moved (adagrad lr 1), lstm unchanged (sgd lr 0)
+    assert float(jnp.abs(new_params["entity_embedding"]).sum()) > 0
+    assert float(jnp.abs(new_params["lstm"]["w_ih"]).sum()) == 0
+
+
+def test_plateau_scheduler_scales_lr():
+    regimes = OptimizerRegimes(
+        {"optimizer": "Adagrad", "lr": 1.0},
+        lr_scheduler_config={"lr_scheduler": "ReduceLROnPlateau", "factor": 0.5, "patience": 1},
+    )
+    regimes.update(1, 0)
+    regimes.lr_scheduler_step(0.5)
+    regimes.lr_scheduler_step(0.4)  # worse x1
+    regimes.lr_scheduler_step(0.4)  # worse x2 -> scale
+    assert regimes.hparams()[0]["lr"] == 0.5
+
+
+def test_grad_clip_global_norm():
+    params = {"a": jnp.zeros((2,))}
+    regimes = OptimizerRegimes({"optimizer": "SGD", "lr": 1.0})
+    regimes.update(1, 0)
+    state = regimes.init_state(params)
+    apply = regimes.make_apply(params, grad_clip=1.0)
+    grads = {"a": jnp.asarray([3.0, 4.0])}  # norm 5 -> scaled by 1/5
+    hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
+    new_params, _ = apply(grads, state, params, hp)
+    np.testing.assert_allclose(np.asarray(new_params["a"]), [-0.6, -0.8], rtol=1e-5)
