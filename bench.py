@@ -76,6 +76,7 @@ def bench_tpu() -> float:
     model = build_model(
         "LSTMComplexRelationModel", meta, entity_slot_size=D, relation_slot_size=D,
         dropout=0.1, normalize="batchnorm", init_std=0.1,
+        dtype=os.environ.get("OKET_BENCH_DTYPE", "bfloat16"),
     )
     variables = model.init(jax.random.key(0))
     regimes = OptimizerRegimes({"optimizer": "Adagrad", "lr": 0.2, "weight_decay": 1e-10})

@@ -85,7 +85,13 @@ def _cubic_abs_reg(x: jax.Array, l2_reg: float, dropout: float) -> jax.Array:
 
 
 def zero_pad_row_grads(grads: Variables, table_names=()) -> Variables:
-    """Zero the PAD-row gradient of embedding tables (torch padding_idx)."""
+    """Zero the PAD-row gradient of embedding tables (torch padding_idx).
+
+    NOTE: no longer used in the train step — it costs a full dense copy per
+    table.  PAD-row gradients are structurally zero for lookup/LSTM/bigram
+    encoders (pad positions are masked or unused), and the unigram sum-pool
+    path blocks them at the source with a stop_gradient mask
+    (:func:`_pad_stop_gradient`).  Kept for external callers/tests."""
     params = grads
     for name in table_names:
         node = params
@@ -94,6 +100,15 @@ def zero_pad_row_grads(grads: Variables, table_names=()) -> Variables:
             node = node[p]
         node[leaf] = node[leaf].at[PAD].set(0.0)
     return grads
+
+
+def _pad_stop_gradient(emb: jax.Array, toks: jax.Array) -> jax.Array:
+    """Keep pad-token embedding *values* in the forward (reference semantics:
+    random PAD rows participate in sum pooling) but drop their gradient —
+    the functional equivalent of torch's padding_idx without a dense
+    PAD-row fixup on the gradient tensor."""
+    is_pad = (toks == PAD)[..., None]
+    return jnp.where(is_pad, jax.lax.stop_gradient(emb), emb)
 
 
 class Embedder:
@@ -159,8 +174,10 @@ class LookupEmbedder(Embedder):
     init_std: float = 0.01
     batch_norm: bool = False
     l2_reg: float = 0.0
+    dtype: str = "float32"  # compute dtype for gathers/matmuls (params stay f32)
 
     def __post_init__(self):
+        self._cdtype = jnp.dtype(self.dtype)
         if self.relation_slot_size is None or self.relation_slot_size <= 0:
             self.relation_slot_size = self.entity_slot_size
         self._entity_emb_size = self.entity_embedding_size or self.entity_slot_size
@@ -222,12 +239,16 @@ class LookupEmbedder(Embedder):
             r1, r2 = jax.random.split(rng)
         x = _dropout(x, input_dropout, train, r1)
         if self.batch_norm and bn_name is not None:
-            x, new_state[bn_name] = apply_batchnorm(params[bn_name], state[bn_name], x, train)
+            y32, new_state[bn_name] = apply_batchnorm(
+                params[bn_name], state[bn_name], x.astype(jnp.float32), train
+            )
+            x = y32.astype(x.dtype)
         if proj_names:
             act = self._activation(proj_act)
             projected = []
             for pn in proj_names:
-                y = x @ params[pn]["w"].T
+                y = jnp.dot(x, params[pn]["w"].T.astype(x.dtype),
+                            preferred_element_type=jnp.float32).astype(x.dtype)
                 projected.append(act(y) if act else y)
             x = projected[0] if len(projected) == 1 else projected
         if self.normalize == "norm":
@@ -244,7 +265,7 @@ class LookupEmbedder(Embedder):
         return x, new_state, reg
 
     def encode_entity(self, variables, ids, *, is_sp=None, train=False, rng=None):
-        x = variables["params"]["entity_embedding"][ids]
+        x = variables["params"]["entity_embedding"][ids].astype(self._cdtype)
         return self._encode_entity_repr(variables, x, is_sp=is_sp, train=train, rng=rng)
 
     def encode_entity_rows(self, variables, rows, *, is_sp=None, train=False, rng=None):
@@ -271,7 +292,7 @@ class LookupEmbedder(Embedder):
         )
 
     def encode_relation(self, variables, ids, *, train=False, rng=None):
-        x = variables["params"]["relation_embedding"][ids]
+        x = variables["params"]["relation_embedding"][ids].astype(self._cdtype)
         return self._encode(
             variables, x, "bn_r" if self.batch_norm else None,
             ["relation_projection"] if self.project_relation else [],
@@ -299,8 +320,10 @@ class TokenEmbedderBase(Embedder):
     relation_dropout: Optional[float] = None
     project_relation: bool = False
     l2_reg: float = 0.0  # accepted for config parity; token models don't use it
+    dtype: str = "float32"  # compute dtype for gathers/matmuls (params stay f32)
 
     def __post_init__(self):
+        self._cdtype = jnp.dtype(self.dtype)
         if self.relation_slot_size is None or self.relation_slot_size <= 0:
             self.relation_slot_size = self.entity_slot_size
         # reference: falsy entity_dropout falls back to dropout (model.py:755-756)
@@ -354,11 +377,12 @@ class TokenEmbedderBase(Embedder):
         """Linear d_r -> d_e^2 followed by BatchNorm1d (reference token-encoder
         projection head, openkge/model.py:944-947)."""
         params, state = variables["params"], variables["state"]
-        y = x @ params["relation_projection"]["w"].T
+        y = jnp.dot(x, params["relation_projection"]["w"].T.astype(x.dtype),
+                    preferred_element_type=jnp.float32)
         y, new_bn = apply_batchnorm(
             params["relation_projection"]["bn"], state["relation_projection_bn"], y, train
         )
-        return y, new_bn
+        return y.astype(x.dtype), new_bn
 
 
 # ------------------------------------------------------------------ unigram
@@ -379,7 +403,8 @@ class UnigramPoolingEmbedder(TokenEmbedderBase):
 
     def _compose(self, variables, ids, kind, table_name, bn_name, proj, dropout, train, rng):
         toks = self._tokens(variables, ids, kind)  # [B, L]
-        emb = variables["params"][table_name][toks]  # [B, L, d]
+        emb = variables["params"][table_name][toks].astype(self._cdtype)  # [B, L, d]
+        emb = _pad_stop_gradient(emb, toks)
         if self.pool == "max":
             x = jnp.max(emb, axis=1)
         elif self.pool == "mean":
@@ -393,9 +418,11 @@ class UnigramPoolingEmbedder(TokenEmbedderBase):
         if self.normalize == "norm":
             x = _l2_normalize(x)
         elif self.normalize == "batchnorm":
-            x, new_state[bn_name] = apply_batchnorm(
-                variables["params"][bn_name], variables["state"][bn_name], x, train
+            y32, new_state[bn_name] = apply_batchnorm(
+                variables["params"][bn_name], variables["state"][bn_name],
+                x.astype(jnp.float32), train,
             )
+            x = y32.astype(self._cdtype)
         if proj:
             x, new_state["relation_projection_bn"] = self._apply_relation_projection(
                 variables, x, train
@@ -463,13 +490,13 @@ class BigramPoolingEmbedder(TokenEmbedderBase):
 
     def _compose(self, variables, ids, kind, table_name, dropout, train, rng):
         toks = self._tokens(variables, ids, kind)  # [B, L]
-        emb = variables["params"][table_name][toks]  # [B, L, d]
-        w = variables["params"][f"{kind}_conv"]  # [out_ch, d, 2]
+        emb = variables["params"][table_name][toks].astype(self._cdtype)  # [B, L, d]
+        w = variables["params"][f"{kind}_conv"].astype(self._cdtype)  # [out_ch, d, 2]
         # conv1d kernel=2 over length: out[:, t, c] = sum_d (emb[:,t,d] w[c,d,0] + emb[:,t+1,d] w[c,d,1])
         y = (
             jnp.einsum("bld,cd->blc", emb[:, :-1, :], w[:, :, 0], preferred_element_type=jnp.float32)
             + jnp.einsum("bld,cd->blc", emb[:, 1:, :], w[:, :, 1], preferred_element_type=jnp.float32)
-        )  # [B, L-1, out_ch]
+        ).astype(self._cdtype)  # [B, L-1, out_ch]
         if self.encoder_activation:
             y = getattr(jax.nn, {"ReLU": "relu", "Tanh": "tanh"}.get(
                 self.encoder_activation, self.encoder_activation.lower()))(y)
@@ -479,11 +506,11 @@ class BigramPoolingEmbedder(TokenEmbedderBase):
             y2, new_state[f"{kind}_conv_bn"] = apply_batchnorm(
                 variables["params"][f"{kind}_conv_bn"],
                 variables["state"][f"{kind}_conv_bn"],
-                y.reshape(B * Lm1, C),
+                y.reshape(B * Lm1, C).astype(jnp.float32),
                 train,
                 momentum=self._conv_bn_momentum(),
             )
-            y = y2.reshape(B, Lm1, C)
+            y = y2.astype(self._cdtype).reshape(B, Lm1, C)
         if self.gates:
             g = jax.nn.sigmoid(y[..., -1:])
             y = y[..., :-1] * g + emb[:, 1:, :] * (1 - g)
@@ -534,7 +561,7 @@ class LSTMEmbedder(TokenEmbedderBase):
 
     def _compose(self, variables, ids, kind, table_name, lstm_name, bn_name, proj, dropout, train, rng):
         toks = self._tokens(variables, ids, kind)  # [B, L]
-        emb = variables["params"][table_name][toks]  # [B, L, d]
+        emb = variables["params"][table_name][toks].astype(self._cdtype)  # [B, L, d]
         lengths = jnp.sum((toks > 0).astype(jnp.int32), axis=1)
         out = lstm_forward(variables["params"][lstm_name], emb)
         idx = jnp.clip(lengths - 1, 0, toks.shape[1] - 1)
@@ -544,15 +571,17 @@ class LSTMEmbedder(TokenEmbedderBase):
                 self.encoder_activation, self.encoder_activation.lower()))(x)
         new_state = dict(variables["state"])
         if self.normalize == "batchnorm":
-            x, new_state[bn_name] = apply_batchnorm(
-                variables["params"][bn_name], variables["state"][bn_name], x, train
+            y32, new_state[bn_name] = apply_batchnorm(
+                variables["params"][bn_name], variables["state"][bn_name],
+                x.astype(jnp.float32), train,
             )
+            x = y32.astype(self._cdtype)
         if proj:
             x, new_state["relation_projection_bn"] = self._apply_relation_projection(
-                variables, x, train
+                variables, x.astype(self._cdtype), train
             )
         x = _dropout(x, dropout, train, rng)
-        return x, new_state, jnp.zeros((), jnp.float32)
+        return x.astype(self._cdtype), new_state, jnp.zeros((), jnp.float32)
 
     def encode_entity(self, variables, ids, *, is_sp=None, train=False, rng=None):
         return self._compose(

@@ -40,12 +40,17 @@ def lstm_forward(params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
 
     Zero initial state, batch-first, single layer (the reference always uses
     one layer, where torch's inter-layer dropout is a no-op).
+
+    Mixed precision: matmul operands are cast to ``x.dtype`` (bf16 when the
+    embedder runs in bf16 — one MXU pass instead of the 3-pass f32 emulation),
+    gate math and the cell state stay float32.
     """
     B, L, _ = x.shape
     H = params["w_hh"].shape[1]
-    w_ih_t = params["w_ih"].T  # [D, 4H]
-    w_hh_t = params["w_hh"].T  # [H, 4H]
-    bias = params["b_ih"] + params["b_hh"]
+    dtype = x.dtype
+    w_ih_t = params["w_ih"].T.astype(dtype)  # [D, 4H]
+    w_hh_t = params["w_hh"].T.astype(dtype)  # [H, 4H]
+    bias = (params["b_ih"] + params["b_hh"]).astype(jnp.float32)
 
     # Hoist the input projection out of the scan: one big [B*L, D]x[D, 4H]
     # MXU matmul instead of L small ones.
@@ -53,7 +58,7 @@ def lstm_forward(params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
 
     def step(carry, xp_t):
         h, c = carry
-        gates = xp_t + jnp.dot(h, w_hh_t, preferred_element_type=jnp.float32)
+        gates = xp_t + jnp.dot(h.astype(dtype), w_hh_t, preferred_element_type=jnp.float32)
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = jax.nn.sigmoid(i)
         f = jax.nn.sigmoid(f)
@@ -63,8 +68,8 @@ def lstm_forward(params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    h0 = jnp.zeros((B, H), x_proj.dtype)
-    c0 = jnp.zeros((B, H), x_proj.dtype)
+    h0 = jnp.zeros((B, H), jnp.float32)
+    c0 = jnp.zeros((B, H), jnp.float32)
     (_, _), hs = jax.lax.scan(step, (h0, c0), jnp.swapaxes(x_proj, 0, 1))
     return jnp.swapaxes(hs, 0, 1)
 

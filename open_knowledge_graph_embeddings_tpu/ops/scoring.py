@@ -74,7 +74,7 @@ def rescal_query(e: jax.Array, r_mat: jax.Array, is_sp: jax.Array) -> jax.Array:
     """
     q_sp = jnp.einsum("bi,bij->bj", e, r_mat, preferred_element_type=jnp.float32)
     q_po = jnp.einsum("bij,bj->bi", r_mat, e, preferred_element_type=jnp.float32)
-    return jnp.where(is_sp[:, None], q_sp, q_po)
+    return jnp.where(is_sp[:, None], q_sp, q_po).astype(e.dtype)
 
 
 def bias_relation_query(e: jax.Array, r: jax.Array, is_sp: jax.Array) -> jax.Array:

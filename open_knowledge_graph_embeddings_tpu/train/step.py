@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from open_knowledge_graph_embeddings_tpu.data.batching import Batch
-from open_knowledge_graph_embeddings_tpu.models.embedders import zero_pad_row_grads
 from open_knowledge_graph_embeddings_tpu.models.model import KGEModel
 from open_knowledge_graph_embeddings_tpu.train.evaluate import (
     metric_sums_from_ranks,
@@ -71,7 +70,6 @@ def make_train_step(
     """Returns jitted ``step(variables, opt_state, hparams, batch, rng)``
     -> (variables, opt_state, stats dict)."""
     apply_updates = regimes.make_apply(params_example, grad_clip)
-    pad_tables = model.embedder.pad_frozen_tables
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(variables, opt_state, hparams, batch, rng):
@@ -103,10 +101,10 @@ def make_train_step(
             backward = (loss_sum + reg) / batch["normalizer_loss"]
             return backward, (new_state, loss_sum, norm_metric)
 
+        # PAD-row gradients are structurally zero (see embedders._pad_stop_gradient)
         grads, (new_state, loss_sum, norm_metric) = jax.grad(loss_fn, has_aux=True)(
             variables["params"]
         )
-        grads = zero_pad_row_grads(grads, pad_tables)
         new_params, new_opt_state = apply_updates(
             grads, opt_state, variables["params"], hparams
         )
