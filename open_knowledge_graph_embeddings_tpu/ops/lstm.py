@@ -52,6 +52,18 @@ def lstm_forward(params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     w_hh_t = params["w_hh"].T.astype(dtype)  # [H, 4H]
     bias = (params["b_ih"] + params["b_hh"]).astype(jnp.float32)
 
+    from open_knowledge_graph_embeddings_tpu.ops.pallas.lstm_kernel import (
+        lstm_scan_pallas,
+        pallas_supported,
+    )
+
+    if pallas_supported(B, L, H):
+        # time-major input projection feeds the fused Pallas recurrence
+        x_proj_tm = (
+            jnp.einsum("bld,dh->lbh", x, w_ih_t, preferred_element_type=jnp.float32) + bias
+        )
+        return jnp.swapaxes(lstm_scan_pallas(x_proj_tm, w_hh_t), 0, 1)
+
     # Hoist the input projection out of the scan: one big [B*L, D]x[D, 4H]
     # MXU matmul instead of L small ones.
     x_proj = jnp.einsum("bld,dh->blh", x, w_ih_t, preferred_element_type=jnp.float32) + bias

@@ -1,0 +1,236 @@
+"""Fused LSTM recurrence as Pallas TPU kernels.
+
+The XLA `lax.scan` LSTM (ops/lstm.py) round-trips the [B, 4H] gate tensor
+and the f32 cell state through HBM on every time step — measured
+HBM-bound at ~3x the roofline on v5e.  These kernels keep h and c resident
+in VMEM across the whole sequence and fuse the gate math into the
+recurrent matmul:
+
+* forward: grid (batch_tiles, L); per step one [TB, H] x [H, 4H] MXU
+  matmul + VPU gate math; writes hs/cs per step (bwd residuals),
+* backward: same grid with time reversed; recomputes the gate activations
+  from residuals, accumulates dW_hh in VMEM scratch per batch tile, and
+  emits dx_proj (from which bias/W_ih/input grads follow as plain matmuls
+  outside the kernel).
+
+All sequence tensors are **time-major** [L, B, ·] so every block is
+(1, TB, feature) — the TPU tiling constraint applies to the last two dims
+only.  The input projection x_proj = x @ W_ih^T + b stays outside: it is
+one large static matmul XLA already runs at peak MXU utilization.
+
+Used automatically by ops/lstm.py on TPU for aligned shapes; the scan
+fallback remains for CPU tests and odd shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _pick_tile(B: int) -> int:
+    # 256 keeps the working set (double-buffered x_proj blocks + weights +
+    # h/c scratch) under the 16MB VMEM budget at H=512
+    for tb in (256, 128, 64, 32, 16, 8):
+        if B % tb == 0:
+            return tb
+    return 0
+
+
+# ----------------------------------------------------------------- forward
+
+
+def _fwd_kernel(xp_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    h = h_scr[:]
+    c = c_scr[:]
+    gates = xp_ref[0] + jnp.dot(
+        h.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32
+    )
+    H = h.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+    c = f * c + i * g
+    h = o * jnp.tanh(c)
+    h_scr[:] = h
+    c_scr[:] = c
+    hs_ref[0] = h
+    cs_ref[0] = c
+
+
+def _lstm_fwd_pallas(x_proj_tm: jax.Array, w_hh_t: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """x_proj_tm [L, B, 4H] f32, w_hh_t [H, 4H] -> (hs, cs) [L, B, H] f32."""
+    L, B, H4 = x_proj_tm.shape
+    H = H4 // 4
+    TB = _pick_tile(B)
+    grid = (B // TB, L)
+    hs, cs = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TB, H4), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TB, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((L, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, H), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+        ],
+    )(x_proj_tm, w_hh_t)
+    return hs, cs
+
+
+# ---------------------------------------------------------------- backward
+
+
+def _bwd_kernel(
+    xp_ref, whh_ref, cs_ref, hprev_ref, cprev_ref, dhs_ref,
+    dxp_ref,
+    dh_scr, dc_scr,
+):
+    t_rev = pl.program_id(1)
+
+    @pl.when(t_rev == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+
+    h_prev = hprev_ref[0]
+    c_prev = cprev_ref[0]
+    c_t = cs_ref[0]
+
+    # recompute gate activations
+    gates = xp_ref[0] + jnp.dot(
+        h_prev.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32
+    )
+    H = c_t.shape[-1]
+    i = jax.nn.sigmoid(gates[:, :H])
+    f = jax.nn.sigmoid(gates[:, H : 2 * H])
+    g = jnp.tanh(gates[:, 2 * H : 3 * H])
+    o = jax.nn.sigmoid(gates[:, 3 * H :])
+
+    dh = dh_scr[:] + dhs_ref[0]
+    tc = jnp.tanh(c_t)
+    do = dh * tc
+    dc = dc_scr[:] + dh * o * (1.0 - tc * tc)
+    di = dc * g
+    df = dc * c_prev
+    dg = dc * i
+    dc_prev = dc * f
+
+    dgates = jnp.concatenate(
+        [
+            di * i * (1.0 - i),
+            df * f * (1.0 - f),
+            dg * (1.0 - g * g),
+            do * o * (1.0 - o),
+        ],
+        axis=-1,
+    )
+    dxp_ref[0] = dgates
+    # dh_prev = dgates @ w_hh^T   ([TB,4H] x [4H,H])
+    dh_scr[:] = jax.lax.dot_general(
+        dgates.astype(whh_ref.dtype), whh_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dc_scr[:] = dc_prev
+
+
+def _lstm_bwd_pallas(
+    x_proj_tm: jax.Array, w_hh_t: jax.Array, hs: jax.Array, cs: jax.Array, dhs: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Time-major residuals; returns (dx_proj [L, B, 4H], dw_hh_t [H, 4H])."""
+    L, B, H4 = x_proj_tm.shape
+    H = H4 // 4
+    TB = min(_pick_tile(B), 128)  # smaller tile: bwd streams 6 seq tensors
+    grid = (B // TB, L)
+
+    # shifted residuals: h_prev[t] = hs[t-1] (zeros at t=0)
+    zeros = jnp.zeros((1, B, H), jnp.float32)
+    h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
+    c_prev = jnp.concatenate([zeros, cs[:-1]], axis=0)
+
+    rev = lambda b, t: (L - 1 - t, b, 0)
+    dxp = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, TB, H4), rev, memory_space=pltpu.VMEM),  # x_proj
+            pl.BlockSpec((H, H4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),  # w_hh
+            pl.BlockSpec((1, TB, H), rev, memory_space=pltpu.VMEM),  # cs
+            pl.BlockSpec((1, TB, H), rev, memory_space=pltpu.VMEM),  # h_prev
+            pl.BlockSpec((1, TB, H), rev, memory_space=pltpu.VMEM),  # c_prev
+            pl.BlockSpec((1, TB, H), rev, memory_space=pltpu.VMEM),  # dhs
+        ],
+        out_specs=pl.BlockSpec((1, TB, H4), rev, memory_space=pltpu.VMEM),  # dx_proj
+        out_shape=jax.ShapeDtypeStruct((L, B, H4), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+        ],
+    )(x_proj_tm, w_hh_t, cs, h_prev, c_prev, dhs)
+    # dW_hh = sum_t h_prev[t]^T dgates[t] — dx_proj IS dgates, so the weight
+    # gradient is one large static matmul XLA runs at peak off the kernel
+    dw = jnp.einsum(
+        "lbh,lbg->hg", h_prev, dxp, preferred_element_type=jnp.float32
+    )
+    return dxp, dw
+
+
+# -------------------------------------------------------------- custom vjp
+
+
+@jax.custom_vjp
+def lstm_scan_pallas(x_proj_tm: jax.Array, w_hh_t: jax.Array) -> jax.Array:
+    """Time-major LSTM recurrence: [L, B, 4H] x [H, 4H] -> hs [L, B, H]."""
+    hs, _ = _lstm_fwd_pallas(x_proj_tm, w_hh_t)
+    return hs
+
+
+def _vjp_fwd(x_proj_tm, w_hh_t):
+    hs, cs = _lstm_fwd_pallas(x_proj_tm, w_hh_t)
+    return hs, (x_proj_tm, w_hh_t, hs, cs)
+
+
+def _vjp_bwd(res, dhs):
+    x_proj_tm, w_hh_t, hs, cs = res
+    dxp, dw = _lstm_bwd_pallas(x_proj_tm, w_hh_t, hs, cs, dhs)
+    return dxp, dw.astype(w_hh_t.dtype)
+
+
+lstm_scan_pallas.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def pallas_supported(B: int, L: int, H: int) -> bool:
+    import os
+
+    if os.environ.get("OKET_DISABLE_PALLAS"):
+        return False
+    backend = jax.default_backend()
+    if backend not in ("tpu", "axon"):
+        try:
+            if jax.devices()[0].platform not in ("tpu", "axon"):
+                return False
+        except Exception:
+            return False
+    return H % 128 == 0 and _pick_tile(B) >= 8

@@ -1,0 +1,73 @@
+"""Pallas LSTM kernel vs the lax.scan reference (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from open_knowledge_graph_embeddings_tpu.ops import lstm as lstm_mod
+from open_knowledge_graph_embeddings_tpu.ops.pallas import lstm_kernel
+
+
+@pytest.fixture
+def shapes():
+    B, L, H = 16, 5, 128
+    rng = np.random.default_rng(0)
+    # time-major [L, B, 4H]
+    x_proj = rng.standard_normal((L, B, 4 * H)).astype(np.float32) * 0.3
+    w_hh_t = rng.standard_normal((H, 4 * H)).astype(np.float32) * 0.1
+    return jnp.asarray(x_proj), jnp.asarray(w_hh_t)
+
+
+def _scan_reference(x_proj_tm, w_hh_t):
+    L, B, H4 = x_proj_tm.shape
+    H = H4 // 4
+
+    def step(carry, xp_t):
+        h, c = carry
+        gates = xp_t + jnp.dot(h, w_hh_t, preferred_element_type=jnp.float32)
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        i, f, o = jax.nn.sigmoid(i), jax.nn.sigmoid(f), jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    h0 = jnp.zeros((B, H), jnp.float32)
+    (_, _), hs = jax.lax.scan(step, (h0, h0), x_proj_tm)
+    return hs
+
+
+def test_forward_matches_scan(shapes):
+    x_proj, w_hh_t = shapes
+    with pltpu.force_tpu_interpret_mode():
+        hs = lstm_kernel.lstm_scan_pallas(x_proj, w_hh_t)
+    want = _scan_reference(x_proj, w_hh_t)
+    np.testing.assert_allclose(np.asarray(hs), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_backward_matches_scan(shapes):
+    x_proj, w_hh_t = shapes
+
+    def loss_pallas(xp, w):
+        with pltpu.force_tpu_interpret_mode():
+            hs = lstm_kernel.lstm_scan_pallas(xp, w)
+        return jnp.sum(hs * jnp.cos(hs))
+
+    def loss_scan(xp, w):
+        hs = _scan_reference(xp, w)
+        return jnp.sum(hs * jnp.cos(hs))
+
+    with pltpu.force_tpu_interpret_mode():
+        gx_p, gw_p = jax.grad(loss_pallas, argnums=(0, 1))(x_proj, w_hh_t)
+    gx_s, gw_s = jax.grad(loss_scan, argnums=(0, 1))(x_proj, w_hh_t)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_s), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_s), rtol=1e-4, atol=1e-4)
+
+
+def test_supported_shapes():
+    assert lstm_kernel._pick_tile(4096) == 256
+    assert lstm_kernel._pick_tile(24) == 8
+    assert lstm_kernel._pick_tile(7) == 0
