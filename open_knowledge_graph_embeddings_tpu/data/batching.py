@@ -119,14 +119,54 @@ class BatchBuilder:
         b = self.batch_size
         return n // b if self.drop_last else -(-n // b)
 
-    def batches(self, shuffle: bool = False) -> Iterator[Batch]:
+    def batches(self, shuffle: bool = False, prefetch: int = 0) -> Iterator[Batch]:
+        """Iterate batches; ``prefetch > 0`` builds them on a background
+        thread (the TPU equivalent of the reference's DataLoader worker
+        processes, scripts/train.py:93-103) so host-side construction
+        overlaps device steps."""
         order = np.arange(len(self.rec))
         if shuffle:
             self.rng.shuffle(order)
         b = self.batch_size
         limit = (len(order) // b) * b if self.drop_last else len(order)
-        for start in range(0, limit, b):
-            yield self.build(order[start : start + b])
+        starts = range(0, limit, b)
+        if prefetch <= 0:
+            for start in starts:
+                yield self.build(order[start : start + b])
+            return
+
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        stop = threading.Event()
+
+        def worker():
+            try:
+                for start in starts:
+                    if stop.is_set():
+                        return
+                    q.put(self.build(order[start : start + b]))
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the worker can exit
+            while not q.empty():
+                q.get_nowait()
 
     # ------------------------------------------------------------------ core
 

@@ -240,7 +240,18 @@ def read_triple_file(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.
     Returns (triples [T,3] int32, subj_offsets [T+1], subj_mentions,
     obj_offsets [T+1], obj_mentions) where mention arrays are the ragged
     contents of columns 4 and 5 in CSR form.
+
+    Uses the native C++ parser when available (~GB/s streaming scan —
+    OLPBench's 30M-line train file parses in seconds instead of the
+    reference's ~30-minute python indexing, README.md:74); falls back to
+    the python reader below.
     """
+    from open_knowledge_graph_embeddings_tpu.native import read_triple_file_native
+
+    native = read_triple_file_native(path)
+    if native is not None:
+        return native
+
     triples: List[Tuple[int, int, int]] = []
     subj_offs = [0]
     obj_offs = [0]

@@ -115,6 +115,62 @@ def make_train_step(
     return step
 
 
+def make_accum_steps(
+    model: KGEModel,
+    regimes: OptimizerRegimes,
+    params_example,
+    loss_type: str = "bce",
+    label_smoothing: float = 0.0,
+    grad_clip: Optional[float] = None,
+):
+    """Gradient-accumulation variant of the train step (reference
+    ``batch_size_for_backward``, openkge/trainer.py:229-246): each
+    micro-batch adds its normalizer-scaled gradients to an accumulator;
+    ``apply_step`` performs one optimizer update from the sum.
+
+    Returns (zero_grads, grad_step, apply_step)."""
+    apply_updates = regimes.make_apply(params_example, grad_clip)
+
+    def zero_grads():
+        return jax.tree_util.tree_map(jnp.zeros_like, params_example)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def grad_step(variables, acc_grads, batch, rng):
+        state, buffers = variables["state"], variables["buffers"]
+        cand_ids = batch.get("candidate_ids")
+        col_valid = batch.get("col_valid")
+
+        def loss_fn(params):
+            v = {"params": params, "state": state, "buffers": buffers}
+            scores, new_state, reg = model.prefix_scores(
+                v, batch["ent_ids"], batch["rel_ids"], batch["is_sp"],
+                cand_ids=cand_ids, train=True, rng=rng,
+            )
+            loss_sum, norm_metric = one_vs_n_loss(
+                loss_type, scores, batch["pos_rows"], batch["pos_cols"],
+                batch["row_valid"], col_valid, batch["n_real_cols"], label_smoothing,
+            )
+            backward = (loss_sum + reg) / batch["normalizer_loss"]
+            return backward, (new_state, loss_sum, norm_metric)
+
+        grads, (new_state, loss_sum, norm_metric) = jax.grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        acc_grads = jax.tree_util.tree_map(jnp.add, acc_grads, grads)
+        new_variables = {"params": variables["params"], "state": new_state, "buffers": buffers}
+        stats = {"loss_sum": loss_sum, "normalizer_metric": norm_metric}
+        return new_variables, acc_grads, stats
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def apply_step(variables, opt_state, acc_grads, hparams):
+        new_params, new_opt_state = apply_updates(
+            acc_grads, opt_state, variables["params"], hparams
+        )
+        return {**variables, "params": new_params}, new_opt_state
+
+    return zero_grads, grad_step, apply_step
+
+
 def make_eval_step(model: KGEModel, loss_type: str = "bce", label_smoothing: float = 0.0):
     """Returns jitted ``eval_step(variables, batch, cand_emb=None)`` ->
     stats dict with loss_sum, normalizer_metric and summed rank metrics.

@@ -46,6 +46,7 @@ from open_knowledge_graph_embeddings_tpu.train.metrics import MetricResult
 from open_knowledge_graph_embeddings_tpu.train.optim import OptimizerRegimes
 from open_knowledge_graph_embeddings_tpu.train.step import (
     eval_batch_to_arrays,
+    make_accum_steps,
     make_eval_step,
     make_train_step,
     train_batch_to_arrays,
@@ -130,6 +131,14 @@ class Trainer:
             label_smoothing=self.label_smoothing,
             grad_clip=self.grad_clip,
         )
+        self.zero_grads, self.grad_step, self.apply_step = make_accum_steps(
+            self.model,
+            self.regimes,
+            self.variables["params"],
+            loss_type=self.loss_type,
+            label_smoothing=self.label_smoothing,
+            grad_clip=self.grad_clip,
+        )
         self.eval_step = make_eval_step(self.model, self.loss_type, self.label_smoothing)
 
     @property
@@ -156,7 +165,9 @@ class Trainer:
         n_batches = len(self.train_builder)
         self.len_train_batches = max(n_batches, 1)
 
-        for step_i, batch in enumerate(self.train_builder.batches(shuffle=True)):
+        acc_grads = None
+        accum_i = 0
+        for step_i, batch in enumerate(self.train_builder.batches(shuffle=True, prefetch=2)):
             self.training_steps += 1
             if self.regimes.update(self.epoch, self.training_steps):
                 # optimizer type changed: fresh state + rebuilt step
@@ -164,9 +175,23 @@ class Trainer:
                 self._rebuild_steps()
 
             self.rng_key, sub = jax.random.split(self.rng_key)
-            self.variables, self.opt_state, stats = self.train_step(
-                self.variables, self.opt_state, self._hp(), train_batch_to_arrays(batch), sub
-            )
+            if self.accum_steps <= 1:
+                self.variables, self.opt_state, stats = self.train_step(
+                    self.variables, self.opt_state, self._hp(), train_batch_to_arrays(batch), sub
+                )
+            else:
+                if acc_grads is None:
+                    acc_grads = self.zero_grads()
+                self.variables, acc_grads, stats = self.grad_step(
+                    self.variables, acc_grads, train_batch_to_arrays(batch), sub
+                )
+                accum_i += 1
+                if accum_i == self.accum_steps:
+                    self.variables, self.opt_state = self.apply_step(
+                        self.variables, self.opt_state, acc_grads, self._hp()
+                    )
+                    acc_grads = None
+                    accum_i = 0
             loss = float(stats["loss_sum"]) / batch.normalizer_loss
             n_pos = float(stats["normalizer_metric"])
             metric_result["loss"].update(loss, batch.normalizer_loss)
