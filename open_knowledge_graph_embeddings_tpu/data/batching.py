@@ -101,12 +101,17 @@ class BatchBuilder:
         drop_last: Optional[bool] = None,
         pos_bucket_min: int = 1024,
         seed: int = 0,
+        host_shard: Optional[Tuple[int, int]] = None,
     ):
+        """``host_shard=(host_id, num_hosts)`` gives each host a disjoint
+        1/num_hosts slice of every (identically seeded) shuffled epoch — the
+        per-host input pipeline for multi-host data parallelism."""
         self.ds = dataset
         self.rec: PrefixRecords = dataset.records
         self.meta = dataset.meta
         self.batch_size = batch_size or dataset.batch_size
         self.drop_last = dataset.is_training_data if drop_last is None else drop_last
+        self.host_shard = host_shard
         self.pos_bucket_min = pos_bucket_min
         self.rng = np.random.default_rng(seed)
         self.cand_offset = self.meta.min_entities_size
@@ -127,6 +132,10 @@ class BatchBuilder:
         order = np.arange(len(self.rec))
         if shuffle:
             self.rng.shuffle(order)
+        if self.host_shard is not None:
+            host_id, num_hosts = self.host_shard
+            per_host = len(order) // num_hosts
+            order = order[host_id * per_host : (host_id + 1) * per_host]
         b = self.batch_size
         limit = (len(order) // b) * b if self.drop_last else len(order)
         starts = range(0, limit, b)

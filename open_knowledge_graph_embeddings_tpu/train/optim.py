@@ -151,16 +151,24 @@ def _leaf_paths(params: Params) -> List[str]:
     return paths
 
 
-def assign_regimes(params: Params, regime_matches: Sequence[Optional[str]]) -> Any:
+def assign_regimes(
+    params: Params,
+    regime_matches: Sequence[Optional[str]],
+    frozen_patterns: Sequence[str] = (),
+) -> Any:
     """Pytree of int regime indices per leaf (-1 = not optimized).
 
     Each leaf goes to the first regime whose ``match`` regex hits its
     slash-joined path (None matches everything) — reference semantics with
     the documented restriction that a param belongs to one regime.
+    Leaves matching any ``frozen_patterns`` regex are never optimized.
     """
 
     def label(kp, _leaf):
         path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        for pattern in frozen_patterns:
+            if re.search(pattern, path) is not None:
+                return -1
         for i, pattern in enumerate(regime_matches):
             if pattern is None or re.search(pattern, path) is not None:
                 return i
@@ -175,7 +183,7 @@ def assign_regimes(params: Params, regime_matches: Sequence[Optional[str]]) -> A
 class OptimizerRegimes:
     """A set of per-param-group phase-switched optimizers."""
 
-    def __init__(self, optimization_config, lr_scheduler_config=None):
+    def __init__(self, optimization_config, lr_scheduler_config=None, frozen_patterns=None):
         # normalize: list of regimes, each a list of phase dicts
         if isinstance(optimization_config, dict):
             optimization_config = [optimization_config]
@@ -196,6 +204,10 @@ class OptimizerRegimes:
         self.current_phase = [None] * len(self.regimes)
         self.lr_scale = [1.0] * len(self.regimes)
         self._plateau_state = [None] * len(self.regimes)
+        #: regexes of parameter paths excluded from every regime (the
+        #: requires_grad=False capability of the reference's resume_freeze,
+        #: openkge/trainer.py:532-536)
+        self.frozen_patterns: List[str] = list(frozen_patterns or [])
 
     # -- host-side phase logic (reference: utils/optim.py:104-134)
 
@@ -277,7 +289,7 @@ class OptimizerRegimes:
     # -- device-side init/apply
 
     def init_state(self, params: Params) -> State:
-        labels = assign_regimes(params, self.matches)
+        labels = assign_regimes(params, self.matches, self.frozen_patterns)
         names = self.opt_names()
 
         def init_leaf(lbl, p):
@@ -290,7 +302,7 @@ class OptimizerRegimes:
     def make_apply(self, params_example: Params, grad_clip: Optional[float] = None):
         """Build the pure (grads, state, params, hparams) -> (new_params,
         new_state) update function; staged into the jitted train step."""
-        labels = assign_regimes(params_example, self.matches)
+        labels = assign_regimes(params_example, self.matches, self.frozen_patterns)
         names = self.opt_names()
 
         def apply(grads, state, params, hparams: List[HParams]):

@@ -89,8 +89,12 @@ class Trainer:
         grad_clip = args.get("grad_clip")
         self.grad_clip = float(grad_clip) if grad_clip else None
 
+        frozen = args.get("resume_freeze") or []
+        if isinstance(frozen, str):
+            frozen = [frozen]
         self.regimes = OptimizerRegimes(
-            args["optimization_config"], args.get("lr_scheduler_config")
+            args["optimization_config"], args.get("lr_scheduler_config"),
+            frozen_patterns=frozen,
         )
         self.regimes.update(1, 0)
         self.opt_state = self.regimes.init_state(self.variables["params"])
@@ -397,10 +401,13 @@ class Trainer:
         if host:
             self.regimes.load_host_state(host, reset=reset_optimizer)
         if freeze_param:
-            logger.warning(
-                "freeze_param is applied through optimization_config 'match' regexes "
-                "in this framework; ignoring %s", freeze_param,
-            )
+            patterns = [freeze_param] if isinstance(freeze_param, str) else list(freeze_param)
+            new = [p for p in patterns if p not in self.regimes.frozen_patterns]
+            if new:
+                self.regimes.frozen_patterns.extend(new)
+                self.opt_state = self.regimes.init_state(self.variables["params"])
+                self._rebuild_steps()
+                logger.info("froze parameters matching %s", patterns)
         return meta
 
 

@@ -169,3 +169,25 @@ def test_eval_batch_fields(toy_dataset_dir):
         cols = cols[cols >= 0]
         assert len(cols) >= 1
         assert (cols < b.num_cols).all()
+
+
+def test_host_sharded_batches(toy_dataset_dir):
+    ds = _ds(toy_dataset_dir, batch_size=2)
+    all_items = set()
+    for h in range(2):
+        bb = BatchBuilder(ds, seed=7, host_shard=(h, 2))
+        items = set()
+        for b in bb.batches(shuffle=True):
+            for i in range(b.num_rows):
+                key = (int(b.ent_ids[i]), int(b.rel_ids[i]), bool(b.is_sp[i]))
+                items.add(key)
+        assert items, f"host {h} got no items"
+        assert not (items & all_items), "hosts overlap"
+        all_items |= items
+
+
+def test_prefetch_matches_sync(toy_dataset_dir):
+    ds = _ds(toy_dataset_dir)
+    sync = [b.ent_ids.tolist() for b in BatchBuilder(ds, seed=5).batches(shuffle=True)]
+    pre = [b.ent_ids.tolist() for b in BatchBuilder(ds, seed=5).batches(shuffle=True, prefetch=2)]
+    assert sync == pre

@@ -110,3 +110,23 @@ def test_config_cli_overrides(toy_dataset_dir):
     assert args["model"] == "LookupDistmultRelationModel"
     with pytest.raises(SystemExit):
         load_config(None, ["--not_a_key", "1"])
+
+
+def test_resume_freeze_keeps_params_fixed(toy_dataset_dir, tmp_path):
+    trainer = main(_toy_args(toy_dataset_dir, tmp_path, epochs=2))
+    path = trainer.save()
+    args = _toy_args(
+        toy_dataset_dir, tmp_path,
+        experiment_dir=str(tmp_path / "expf"),
+        resume=path, resume_freeze=["relation_embedding"], epochs=4,
+    )
+    trainer2 = main(args)
+    np.testing.assert_array_equal(
+        np.asarray(trainer2.variables["params"]["relation_embedding"]),
+        np.asarray(trainer.variables["params"]["relation_embedding"]),
+    )
+    # entity table trained on
+    assert not np.array_equal(
+        np.asarray(trainer2.variables["params"]["entity_embedding"]),
+        np.asarray(trainer.variables["params"]["entity_embedding"]),
+    )
