@@ -43,11 +43,21 @@ def _adagrad_init(p):
 
 def _adagrad_update(g, s, p, hp):
     step = s["step"] + 1.0
-    g = g + hp["weight_decay"] * p
     clr = hp["lr"] / (1.0 + (step - 1.0) * hp["lr_decay"])
+    from open_knowledge_graph_embeddings_tpu.ops.pallas.adagrad_kernel import (
+        adagrad_update_pallas,
+        pallas_adagrad_supported,
+    )
+
+    if pallas_adagrad_supported(p):
+        new_p, acc = adagrad_update_pallas(
+            g, p, s["sum"], clr, hp["weight_decay"], hp["eps"]
+        )
+        return new_p, {"sum": acc, "step": step}
+    g = g + hp["weight_decay"] * p
     acc = s["sum"] + g * g
-    update = -clr * g / (jnp.sqrt(acc) + hp["eps"])
-    return update, {"sum": acc, "step": step}
+    new_p = p - clr * g / (jnp.sqrt(acc) + hp["eps"])
+    return new_p, {"sum": acc, "step": step}
 
 
 def _adam_init(p):
@@ -66,8 +76,8 @@ def _adam_update(g, s, p, hp):
     v = b2 * s["v"] + (1 - b2) * g * g
     m_hat = m / (1 - b1 ** step)
     v_hat = v / (1 - b2 ** step)
-    update = -hp["lr"] * m_hat / (jnp.sqrt(v_hat) + hp["eps"])
-    return update, {"m": m, "v": v, "step": step}
+    new_p = p - hp["lr"] * m_hat / (jnp.sqrt(v_hat) + hp["eps"])
+    return new_p, {"m": m, "v": v, "step": step}
 
 
 def _sgd_init(p):
@@ -80,7 +90,7 @@ def _sgd_update(g, s, p, hp):
     g_eff = jnp.where(hp["nesterov"] > 0, g + hp["momentum"] * buf, buf)
     # momentum == 0 -> plain SGD (torch skips the buffer entirely)
     g_eff = jnp.where(hp["momentum"] > 0, g_eff, g)
-    return -hp["lr"] * g_eff, {"momentum": buf, "step": s["step"] + 1.0}
+    return p - hp["lr"] * g_eff, {"momentum": buf, "step": s["step"] + 1.0}
 
 
 def _rmsprop_init(p):
@@ -92,8 +102,8 @@ def _rmsprop_update(g, s, p, hp):
     sq = hp["alpha"] * s["sq"] + (1 - hp["alpha"]) * g * g
     avg = jnp.sqrt(sq) + hp["eps"]
     buf = hp["momentum"] * s["momentum"] + g / avg
-    update = jnp.where(hp["momentum"] > 0, -hp["lr"] * buf, -hp["lr"] * g / avg)
-    return update, {"sq": sq, "momentum": buf, "step": s["step"] + 1.0}
+    new_p = jnp.where(hp["momentum"] > 0, p - hp["lr"] * buf, p - hp["lr"] * g / avg)
+    return new_p, {"sq": sq, "momentum": buf, "step": s["step"] + 1.0}
 
 
 def _adadelta_init(p):
@@ -106,7 +116,7 @@ def _adadelta_update(g, s, p, hp):
     sq = rho * s["sq"] + (1 - rho) * g * g
     delta = jnp.sqrt(s["acc_delta"] + eps) / jnp.sqrt(sq + eps) * g
     acc_delta = rho * s["acc_delta"] + (1 - rho) * delta * delta
-    return -hp["lr"] * delta, {"sq": sq, "acc_delta": acc_delta, "step": s["step"] + 1.0}
+    return p - hp["lr"] * delta, {"sq": sq, "acc_delta": acc_delta, "step": s["step"] + 1.0}
 
 
 _RULES: Dict[str, Tuple[Callable, Callable, Dict[str, float]]] = {
@@ -316,8 +326,8 @@ class OptimizerRegimes:
                 if lbl < 0:
                     return p, s
                 update_fn = _RULES[names[lbl]][1]
-                delta, new_s = update_fn(g, s, p, hparams[lbl])
-                return p + delta, new_s
+                new_p, new_s = update_fn(g, s, p, hparams[lbl])
+                return new_p, new_s
 
             out = jax.tree_util.tree_map(
                 upd, labels, grads, state, params,

@@ -71,3 +71,25 @@ def test_supported_shapes():
     assert lstm_kernel._pick_tile(4096) == 256
     assert lstm_kernel._pick_tile(24) == 8
     assert lstm_kernel._pick_tile(7) == 0
+
+
+class TestPallasAdagrad:
+    def test_kernel_matches_xla_rule(self):
+        from jax.experimental.pallas import tpu as pltpu
+        from open_knowledge_graph_embeddings_tpu.ops.pallas.adagrad_kernel import (
+            adagrad_update_pallas,
+        )
+
+        rng = np.random.default_rng(0)
+        V, d = 1024, 128
+        g = jnp.asarray(rng.standard_normal((V, d)).astype(np.float32))
+        p = jnp.asarray(rng.standard_normal((V, d)).astype(np.float32))
+        acc = jnp.asarray(np.abs(rng.standard_normal((V, d))).astype(np.float32))
+        clr, wd, eps = jnp.float32(0.3), jnp.float32(1e-10), jnp.float32(1e-10)
+        with pltpu.force_tpu_interpret_mode():
+            new_p, new_acc = adagrad_update_pallas(g, p, acc, clr, wd, eps)
+        g2 = g + wd * p
+        want_acc = acc + g2 * g2
+        want_p = p - clr * g2 / (jnp.sqrt(want_acc) + eps)
+        np.testing.assert_allclose(np.asarray(new_acc), np.asarray(want_acc), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_p), np.asarray(want_p), rtol=1e-5, atol=1e-6)
