@@ -91,6 +91,59 @@ class Batch:
         )
 
 
+def pad_batches_to_common_shape(batches: List[Batch]) -> List[Batch]:
+    """Re-pad a list of batches so every bucketed array has the list-wide
+    maximum size — one jit compilation for the whole set (eval batches are
+    deterministic, so the trainer caches them padded like this)."""
+    if not batches:
+        return batches
+
+    def grow(arr, n, fill):
+        if arr is None or len(arr) >= n:
+            return arr
+        out = np.full((n,) + arr.shape[1:], fill, dtype=arr.dtype)
+        out[: len(arr)] = arr
+        return out
+
+    P = max(len(b.pos_rows) for b in batches)
+    F = max(len(b.filter_rows) for b in batches if b.filter_rows is not None) if any(
+        b.filter_rows is not None for b in batches) else 0
+    G = max(len(b.gold_rows) for b in batches if b.gold_rows is not None) if any(
+        b.gold_rows is not None for b in batches) else 0
+    A = max(b.gold_mention_cols.shape[1] for b in batches if b.gold_mention_cols is not None) if any(
+        b.gold_mention_cols is not None for b in batches) else 0
+    N = max(len(b.candidate_ids) for b in batches if b.candidate_ids is not None) if any(
+        b.candidate_ids is not None for b in batches) else None
+
+    out = []
+    for b in batches:
+        gm = b.gold_mention_cols
+        if gm is not None and (gm.shape[0] < G or gm.shape[1] < A):
+            ng = np.full((G, A), PAD_COL, dtype=gm.dtype)
+            ng[: gm.shape[0], : gm.shape[1]] = gm
+            gm = ng
+        cand, cv = b.candidate_ids, b.col_valid
+        if cand is not None and N is not None and len(cand) < N:
+            cand = grow(cand, N, 0)
+            cv = grow(cv, N, False)
+        out.append(
+            Batch(
+                ent_ids=b.ent_ids, rel_ids=b.rel_ids, is_sp=b.is_sp,
+                row_valid=b.row_valid, num_rows=b.num_rows,
+                candidate_ids=cand, col_valid=cv, num_cols=b.num_cols,
+                cand_offset=b.cand_offset,
+                pos_rows=grow(b.pos_rows, P, PAD_COL),
+                pos_cols=grow(b.pos_cols, P, PAD_COL),
+                normalizer_loss=b.normalizer_loss,
+                filter_rows=grow(b.filter_rows, F, PAD_COL),
+                filter_cols=grow(b.filter_cols, F, PAD_COL),
+                gold_rows=grow(b.gold_rows, G, PAD_COL),
+                gold_mention_cols=gm,
+            )
+        )
+    return out
+
+
 class BatchBuilder:
     """Builds batches from a :class:`OneToNMentionRelationDataset`."""
 

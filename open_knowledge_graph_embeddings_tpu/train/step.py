@@ -213,6 +213,21 @@ def make_eval_step(model: KGEModel, loss_type: str = "bce", label_smoothing: flo
         stats = metric_sums_from_ranks(ranks, gold_valid)
         stats["loss_sum"] = loss_sum
         stats["normalizer_metric"] = norm_metric
-        return stats
+        # single packed vector: one device->host transfer per batch (the
+        # axon tunnel charges a full RTT per fetched scalar)
+        packed = jnp.stack(
+            [stats[k].astype(jnp.float32) for k in EVAL_STAT_KEYS]
+        )
+        return packed
 
     return eval_step
+
+
+EVAL_STAT_KEYS = ("count", "mrr", "mr", "h50", "h10", "h3", "h1", "loss_sum", "normalizer_metric")
+
+
+def unpack_eval_stats(packed) -> Dict[str, float]:
+    import numpy as _np
+
+    vals = _np.asarray(packed)
+    return {k: float(v) for k, v in zip(EVAL_STAT_KEYS, vals)}

@@ -34,7 +34,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from open_knowledge_graph_embeddings_tpu.data.batching import Batch, BatchBuilder
+from open_knowledge_graph_embeddings_tpu.data.batching import (
+    Batch,
+    BatchBuilder,
+    pad_batches_to_common_shape,
+)
 from open_knowledge_graph_embeddings_tpu.data.dataset import OneToNMentionRelationDataset
 from open_knowledge_graph_embeddings_tpu.models.embedders import (
     LookupEmbedder,
@@ -50,6 +54,7 @@ from open_knowledge_graph_embeddings_tpu.train.step import (
     make_eval_step,
     make_train_step,
     train_batch_to_arrays,
+    unpack_eval_stats,
 )
 from open_knowledge_graph_embeddings_tpu.utils.logging_utils import ResultsLog
 
@@ -105,6 +110,7 @@ class Trainer:
             BatchBuilder(validation_dataset) if validation_dataset is not None else None
         )
 
+        self._eval_batches_cache = None
         self.ckpt = CheckpointManager(save_path, keep_checkpoints)
         self.results = ResultsLog(f"{save_path}/results.csv")
         self.save_path = save_path
@@ -116,7 +122,6 @@ class Trainer:
         self.best_validation_results = MetricResult()
         self.last_validation_metric = None
         self.moving_average_metric_change = None
-        self._save_epoch_counter = 0
 
         bsz = train_dataset.batch_size
         bsfb = args.get("batch_size_for_backward") or train_dataset.batch_size_for_backward
@@ -234,25 +239,41 @@ class Trainer:
             return all_emb[self.model.meta.min_entities_size :]
         return None
 
+    def _eval_batches(self, builder: BatchBuilder):
+        """Eval batches are deterministic: build once, pad to a common shape
+        (single jit compilation), reuse every eval pass.  Batch-shared eval
+        resamples negatives per pass, so only full-vocab eval is cached."""
+        if builder is not self.val_builder or builder.ds.use_batch_shared_entities:
+            return builder.batches(shuffle=False, prefetch=2)
+        if self._eval_batches_cache is None:
+            self._eval_batches_cache = pad_batches_to_common_shape(
+                list(builder.batches(shuffle=False))
+            )
+        return self._eval_batches_cache
+
     def evaluate(self, builder: Optional[BatchBuilder] = None) -> MetricResult:
         builder = builder or self.val_builder
         assert builder is not None, "no validation dataset"
         result = MetricResult()
         cand_emb = self._candidate_cache()
         t0 = time.time()
-        for batch in builder.batches(shuffle=False):
+        pending = []  # (async device stats, normalizer_loss)
+        for batch in self._eval_batches(builder):
             arrays = eval_batch_to_arrays(batch)
             if cand_emb is not None:
-                stats = self.eval_step(self.variables, arrays, cand_emb)
+                packed = self.eval_step(self.variables, arrays, cand_emb)
             else:
-                stats = self.eval_step(self.variables, arrays)
+                packed = self.eval_step(self.variables, arrays)
+            # keep dispatch async; fetch after the loop so device work and
+            # host batch prep overlap
+            pending.append((packed, batch.normalizer_loss))
+        for packed, normalizer_loss in pending:
+            stats = unpack_eval_stats(packed)
             cnt = int(stats["count"])
             if cnt > 0:
                 for m in ("mrr", "mr", "h1", "h3", "h10", "h50"):
-                    result[m].update(float(stats[m]) / cnt, cnt)
-            result["loss"].update(
-                float(stats["loss_sum"]) / batch.normalizer_loss, batch.normalizer_loss
-            )
+                    result[m].update(stats[m] / cnt, cnt)
+            result["loss"].update(stats["loss_sum"] / normalizer_loss, normalizer_loss)
         logger.info(
             "EVALUATING - EPOCH [%3d]  time: %7.3f  METRICS  %s",
             self.epoch, time.time() - t0, result.averages,
@@ -343,15 +364,12 @@ class Trainer:
                 "training_steps": self.training_steps,
             }
             improved, tags = self._check_early_stopping(validation_results, row)
-            if last_step_of_epoch and save_epoch_freq and (
-                self._save_epoch_counter % save_epoch_freq == save_epoch_freq - 1
-            ):
+            if last_step_of_epoch and save_epoch_freq and self.epoch % save_epoch_freq == 0:
                 self.save(save_all=True, is_best=improved, tags=tags if improved else None)
             self.results.add(**row)
             self.results.save()
 
         while self.epoch < epochs and not self.terminate:
-            self._save_epoch_counter += 1
             train_result = self.train_epoch(val_hook=val_hook)
             row = {
                 "epoch": self.epoch,
@@ -364,6 +382,9 @@ class Trainer:
             ):
                 val_hook(last_step_of_epoch=True)
             self.results.save()
+        # always leave a resumable checkpoint at the end of a run
+        if self.training_steps > 0:
+            self.save()
 
     # ---------------------------------------------------------- persistence
 

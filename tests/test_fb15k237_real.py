@@ -20,6 +20,7 @@ from open_knowledge_graph_embeddings_tpu.data import (
     load_meta,
 )
 from open_knowledge_graph_embeddings_tpu.models import build_model
+from open_knowledge_graph_embeddings_tpu.train.step import unpack_eval_stats
 from open_knowledge_graph_embeddings_tpu.train import (
     OptimizerRegimes,
     eval_batch_to_arrays,
@@ -84,9 +85,9 @@ def test_real_eval_filtered_ranking(meta):
     for i, b in enumerate(bb.batches()):
         if i >= 5:
             break
-        st = eval_step(variables, eval_batch_to_arrays(b))
-        mrr_sum += float(st["mrr"])
-        cnt += float(st["count"])
+        st = unpack_eval_stats(eval_step(variables, eval_batch_to_arrays(b)))
+        mrr_sum += st["mrr"]
+        cnt += st["count"]
     assert cnt > 0
     # untrained model: MRR should be near random (1/N ~ 7e-5), far below 0.01
     assert 0 < mrr_sum / cnt < 0.01

@@ -7,6 +7,7 @@ import pytest
 
 from open_knowledge_graph_embeddings_tpu.data import BatchBuilder, OneToNMentionRelationDataset
 from open_knowledge_graph_embeddings_tpu.models import build_model
+from open_knowledge_graph_embeddings_tpu.train.step import unpack_eval_stats
 from open_knowledge_graph_embeddings_tpu.train import (
     OptimizerRegimes,
     eval_batch_to_arrays,
@@ -58,9 +59,9 @@ def test_full_vocab_training_and_eval(toy_dataset_dir):
     eval_step = make_eval_step(model)
     mrr_sum = cnt = 0.0
     for b in BatchBuilder(vds).batches():
-        st = eval_step(variables, eval_batch_to_arrays(b))
-        mrr_sum += float(st["mrr"])
-        cnt += float(st["count"])
+        st = unpack_eval_stats(eval_step(variables, eval_batch_to_arrays(b)))
+        mrr_sum += st["mrr"]
+        cnt += st["count"]
     assert cnt == 4  # 2 valid triples x 2 directions, 1 gold each
     assert mrr_sum / cnt > 0.3
 
