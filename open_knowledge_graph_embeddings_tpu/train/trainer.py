@@ -176,6 +176,23 @@ class Trainer:
 
         acc_grads = None
         accum_i = 0
+        # Device stats are fetched lazily in one stacked transfer at print /
+        # hook boundaries: the remote-TPU path charges a round trip per
+        # fetched scalar, which would otherwise dominate small steps.
+        pending: List = []
+
+        def drain_pending():
+            nonlocal items_meter_n
+            if not pending:
+                return
+            stacked = np.asarray(
+                jnp.stack([jnp.stack([s["loss_sum"], s["normalizer_metric"]]) for s, _ in pending])
+            )
+            for (stats_, norm_loss), (loss_sum, n_pos) in zip(pending, stacked):
+                metric_result["loss"].update(float(loss_sum) / norm_loss, norm_loss)
+                items_meter_n += float(n_pos)
+            pending.clear()
+
         for step_i, batch in enumerate(self.train_builder.batches(shuffle=True, prefetch=2)):
             self.training_steps += 1
             if self.regimes.update(self.epoch, self.training_steps):
@@ -201,16 +218,14 @@ class Trainer:
                     )
                     acc_grads = None
                     accum_i = 0
-            loss = float(stats["loss_sum"]) / batch.normalizer_loss
-            n_pos = float(stats["normalizer_metric"])
-            metric_result["loss"].update(loss, batch.normalizer_loss)
+            pending.append((stats, batch.normalizer_loss))
             dt = time.time() - batch_start
-            items_meter_n += n_pos
             items_meter_t += dt
             batch_start = time.time()
 
             last = step_i == n_batches - 1
             if (step_i > 0 or last) and (step_i % print_freq == 0 or last):
+                drain_pending()
                 logger.info(
                     "TRAINING - EPOCH [%3d][%6d/%d]  time: %7.3f  items/sec: (%.0f)  loss: %.7f",
                     self.epoch,
@@ -221,9 +236,12 @@ class Trainer:
                     metric_result["loss"].avg,
                 )
             if save_freq > 0 and step_i > 0 and step_i % save_freq == 0:
+                drain_pending()
                 self.save()
             if val_hook is not None and eval_freq > 0 and step_i > 0 and step_i % eval_freq == 0:
+                drain_pending()
                 val_hook(last_step_of_epoch=False)
+        drain_pending()
         return metric_result
 
     # ------------------------------------------------------------------- eval
