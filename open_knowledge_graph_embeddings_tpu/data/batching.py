@@ -174,6 +174,8 @@ class BatchBuilder:
 
     def __len__(self) -> int:
         n = len(self.rec)
+        if self.host_shard is not None:
+            n = n // self.host_shard[1]
         b = self.batch_size
         return n // b if self.drop_last else -(-n // b)
 

@@ -264,12 +264,12 @@ def read_triple_file(path: str) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.
                 continue
             s, r, o = int(parts[0]), int(parts[1]), int(parts[2])
             triples.append((s, r, o))
-            if len(parts) >= 5:
-                subj_vals.extend(int(x) for x in parts[3].split())
-                obj_vals.extend(int(x) for x in parts[4].split())
-            else:
-                subj_vals.append(s)
-                obj_vals.append(o)
+            # empty/missing mention columns duplicate cols 1/3 (closed-KG
+            # convention; keeps python and native parsers identical)
+            s_m = [int(x) for x in parts[3].split()] if len(parts) >= 5 else []
+            o_m = [int(x) for x in parts[4].split()] if len(parts) >= 5 else []
+            subj_vals.extend(s_m if s_m else [s])
+            obj_vals.extend(o_m if o_m else [o])
             subj_offs.append(len(subj_vals))
             obj_offs.append(len(obj_vals))
     return (

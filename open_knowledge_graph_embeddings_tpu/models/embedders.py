@@ -491,6 +491,9 @@ class BigramPoolingEmbedder(TokenEmbedderBase):
     def _compose(self, variables, ids, kind, table_name, dropout, train, rng):
         toks = self._tokens(variables, ids, kind)  # [B, L]
         emb = variables["params"][table_name][toks].astype(self._cdtype)  # [B, L, d]
+        # batch-norm over conv positions couples pad outputs into the loss;
+        # block their gradient at the gather (torch padding_idx semantics)
+        emb = _pad_stop_gradient(emb, toks)
         w = variables["params"][f"{kind}_conv"].astype(self._cdtype)  # [out_ch, d, 2]
         # conv1d kernel=2 over length: out[:, t, c] = sum_d (emb[:,t,d] w[c,d,0] + emb[:,t+1,d] w[c,d,1])
         y = (

@@ -184,29 +184,40 @@ class KGEModel:
     # ---------------------------------------------------------- precompute
 
     def encode_all_entities(
-        self, variables: Variables, chunk_size: int = 4096
+        self, variables: Variables, chunk_size: int = 8192
     ) -> jax.Array:
         """Materialize candidate embeddings for every entity id (eval-time
         cache for token-composition embedders; reference:
-        openkge/model.py:670-712).  Chunked jitted encode, eval mode."""
+        openkge/model.py:670-712).
+
+        One jitted program: a sequential `lax.map` over id chunks, so the
+        2.5M-mention OLPBench vocabulary encodes in a single device dispatch
+        with bounded per-chunk activation memory.  The cache is kept in the
+        embedder's compute dtype (bf16 halves its HBM footprint)."""
+        cache_key = ("enc_all", chunk_size)
+        cached = self.__dict__.setdefault("_jit_cache", {}).get(cache_key)
+        if cached is not None:
+            return cached(variables)
         E = self.meta.entities_size
-        d = self.embedder.entity_dim
+        n_chunks = -(-E // chunk_size)
+        E_pad = n_chunks * chunk_size
 
         @jax.jit
-        def enc(variables, ids):
-            emb, _, _ = self.embedder.encode_entity(variables, ids, is_sp=None, train=False)
-            return emb
+        def enc_all(variables):
+            ids = jnp.arange(E_pad, dtype=jnp.int32).clip(0, E - 1)
+            ids = ids.reshape(n_chunks, chunk_size)
 
-        import numpy as np
+            def enc(chunk_ids):
+                emb, _, _ = self.embedder.encode_entity(
+                    variables, chunk_ids, is_sp=None, train=False
+                )
+                return emb
 
-        out = np.zeros((E, d), dtype=np.float32)
-        for begin in range(0, E, chunk_size):
-            end = min(begin + chunk_size, E)
-            ids = np.arange(begin, end)
-            if end - begin < chunk_size:  # keep a single compiled shape
-                ids = np.pad(ids, (0, chunk_size - (end - begin)), constant_values=0)
-            out[begin:end] = np.asarray(enc(variables, jnp.asarray(ids)))[: end - begin]
-        return jnp.asarray(out)
+            out = jax.lax.map(enc, ids)
+            return out.reshape(E_pad, -1)[:E]
+
+        self._jit_cache[cache_key] = enc_all
+        return enc_all(variables)
 
 
 # ----------------------------------------------------------------- registry

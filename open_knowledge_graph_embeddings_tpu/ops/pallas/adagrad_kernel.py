@@ -42,9 +42,7 @@ def adagrad_update_pallas(
     """Fused (param', acc') update for a [V, d] table; clr is the effective
     learning rate (lr with lr_decay already applied)."""
     V, d = p.shape
-    rows = 512
-    while V % rows != 0 and rows > 1:
-        rows //= 2
+    rows = _row_block(V)
     grid = (V // rows,)
     hp = jnp.stack([clr, weight_decay, eps]).astype(jnp.float32)
     new_p, new_acc = pl.pallas_call(
@@ -69,6 +67,13 @@ def adagrad_update_pallas(
     return new_p, new_acc
 
 
+def _row_block(V: int) -> int:
+    rows = 512
+    while V % rows != 0 and rows > 1:
+        rows //= 2
+    return rows
+
+
 def pallas_adagrad_supported(p: jax.Array, min_size: int = 1 << 20) -> bool:
     import os
 
@@ -77,6 +82,9 @@ def pallas_adagrad_supported(p: jax.Array, min_size: int = 1 << 20) -> bool:
     if p.ndim != 2 or p.size < min_size:
         return False
     if p.shape[1] % 128 != 0:
+        return False
+    if _row_block(p.shape[0]) < 64:
+        # degenerate grid of tiny row blocks would be slower than XLA
         return False
     backend = jax.default_backend()
     if backend not in ("tpu", "axon"):

@@ -202,8 +202,11 @@ class OptimizerRegimes:
         for rc in optimization_config:
             phases = rc if isinstance(rc, list) else [dict(rc)]
             phases = [dict(p) for p in phases]
-            for p in phases:
-                p.setdefault("epoch", 0)
+            # only the first phase starts immediately; later phases keep
+            # their own epoch/step trigger keys untouched (a phase keyed
+            # only by 'step' must NOT inherit epoch=0)
+            if phases and "epoch" not in phases[0] and "step" not in phases[0]:
+                phases[0]["epoch"] = 0
             self.regimes.append(phases)
             self.matches.append(phases[0].get("match"))
         if lr_scheduler_config is None:
@@ -227,7 +230,9 @@ class OptimizerRegimes:
         if current is None:
             current = 0
             for i, ph in enumerate(phases):
-                if epoch >= ph.get("epoch", 0) or steps >= ph.get("step", 0):
+                if epoch >= ph.get("epoch", float("inf")) or steps >= ph.get(
+                    "step", float("inf")
+                ):
                     current = i
                     break
         if current + 1 < len(phases):
@@ -269,7 +274,13 @@ class OptimizerRegimes:
         out = []
         for ri in range(len(self.regimes)):
             phase = self.current_phase[ri] or 0
-            hp = _phase_hparams(self.opt_name(ri), self.regimes[ri][phase])
+            # later phases override earlier settings but inherit the rest
+            # (reference adjust() mutates param_groups in place,
+            # utils/optim.py:147-153)
+            merged: Dict = {}
+            for ph in self.regimes[ri][: phase + 1]:
+                merged.update(ph)
+            hp = _phase_hparams(self.opt_name(ri), merged)
             hp["lr"] *= self.lr_scale[ri]
             out.append(hp)
         return out

@@ -126,6 +126,10 @@ class Trainer:
         bsz = train_dataset.batch_size
         bsfb = args.get("batch_size_for_backward") or train_dataset.batch_size_for_backward
         self.accum_steps = max(1, int(round((bsfb or bsz) / bsz)))
+        # accumulation state carries across epoch boundaries
+        # (reference: openkge/trainer.py:229-246)
+        self._acc_grads = None
+        self._accum_i = 0
         if self.accum_steps > 1:
             logger.info("gradient accumulation over %d micro-batches", self.accum_steps)
 
@@ -173,9 +177,6 @@ class Trainer:
 
         n_batches = len(self.train_builder)
         self.len_train_batches = max(n_batches, 1)
-
-        acc_grads = None
-        accum_i = 0
         # Device stats are fetched lazily in one stacked transfer at print /
         # hook boundaries: the remote-TPU path charges a round trip per
         # fetched scalar, which would otherwise dominate small steps.
@@ -206,18 +207,18 @@ class Trainer:
                     self.variables, self.opt_state, self._hp(), train_batch_to_arrays(batch), sub
                 )
             else:
-                if acc_grads is None:
-                    acc_grads = self.zero_grads()
-                self.variables, acc_grads, stats = self.grad_step(
-                    self.variables, acc_grads, train_batch_to_arrays(batch), sub
+                if self._acc_grads is None:
+                    self._acc_grads = self.zero_grads()
+                self.variables, self._acc_grads, stats = self.grad_step(
+                    self.variables, self._acc_grads, train_batch_to_arrays(batch), sub
                 )
-                accum_i += 1
-                if accum_i == self.accum_steps:
+                self._accum_i += 1
+                if self._accum_i == self.accum_steps:
                     self.variables, self.opt_state = self.apply_step(
-                        self.variables, self.opt_state, acc_grads, self._hp()
+                        self.variables, self.opt_state, self._acc_grads, self._hp()
                     )
-                    acc_grads = None
-                    accum_i = 0
+                    self._acc_grads = None
+                    self._accum_i = 0
             pending.append((stats, batch.normalizer_loss))
             dt = time.time() - batch_start
             items_meter_t += dt
@@ -427,6 +428,20 @@ class Trainer:
         weight_map=None,
         dont_load_optimizer: bool = False,
     ):
+        from open_knowledge_graph_embeddings_tpu.train.checkpoint import load_checkpoint_meta
+
+        # restore the optimizer phase first: a restored phase may use a
+        # different optimizer type than phase 0, which changes the shape of
+        # the optimizer state and the compiled update rule
+        pre_meta = load_checkpoint_meta(path)
+        host = pre_meta.get("optimizer_host_state")
+        if host:
+            old_names = self.regimes.opt_names()
+            self.regimes.load_host_state(host, reset=reset_optimizer)
+            if self.regimes.opt_names() != old_names:
+                self.opt_state = self.regimes.init_state(self.variables["params"])
+                self._rebuild_steps()
+
         self.variables, self.opt_state, meta = load_checkpoint(
             path,
             self.variables,
@@ -436,9 +451,6 @@ class Trainer:
             load_optimizer=not (reset_optimizer or dont_load_optimizer),
         )
         self.training_steps = int(meta.get("training_steps", 0))
-        host = meta.get("optimizer_host_state")
-        if host:
-            self.regimes.load_host_state(host, reset=reset_optimizer)
         if freeze_param:
             patterns = [freeze_param] if isinstance(freeze_param, str) else list(freeze_param)
             new = [p for p in patterns if p not in self.regimes.frozen_patterns]

@@ -1,5 +1,4 @@
 """Gradient accumulation: summed micro-batch grads == one combined update."""
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -89,3 +88,31 @@ def test_trainer_accumulation_runs(toy_dataset_dir, tmp_path):
     trainer = main(args)
     assert trainer.accum_steps == 2
     assert trainer.training_steps > 0
+
+
+def test_accumulation_carries_across_epoch_boundary(toy_dataset_dir, tmp_path):
+    """Odd batches-per-epoch with accum_steps=2: the remainder micro-batch
+    must combine with the first batch of the NEXT epoch, not be discarded."""
+    from open_knowledge_graph_embeddings_tpu.cli.train import main
+    from open_knowledge_graph_embeddings_tpu.config.options import load_config
+
+    args = load_config()
+    args.update(
+        dataset_dir=toy_dataset_dir,
+        experiment_dir=str(tmp_path / "exp"),
+        epochs=3, batch_size=2, batch_size_for_backward=4,
+        eval_epoch_freq=0, eval_freq=-1, save_epoch_freq=100, print_freq=100,
+        model="LookupComplexRelationModel",
+        model_config={"entity_slot_size": 8, "init_std": 0.1},
+        optimization_config={"optimizer": "Adagrad", "lr": 0.3},
+        train_data_config={"input_file": "train.txt", "batch_size": 2,
+                           "use_batch_shared_entities": False},
+        val_data_config={"input_file": "valid.txt", "batch_size": 2,
+                         "use_batch_shared_entities": False},
+        test_data_config={"input_file": "test.txt", "batch_size": 2,
+                          "use_batch_shared_entities": False},
+    )
+    trainer = main(args)
+    # 10 prefixes / batch 2 = 5 batches/epoch (odd): after 3 epochs the
+    # carried accumulator is mid-accumulation (15 micro-batches, 7 applies)
+    assert trainer._accum_i in (0, 1)

@@ -133,3 +133,29 @@ def test_grad_clip_global_norm():
     hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
     new_params, _ = apply(grads, state, params, hp)
     np.testing.assert_allclose(np.asarray(new_params["a"]), [-0.6, -0.8], rtol=1e-5)
+
+
+def test_step_keyed_phase_waits():
+    """A phase keyed only by 'step' must not activate at step 0 (reference
+    keeps absent trigger keys as +inf)."""
+    regimes = OptimizerRegimes(
+        [[{"optimizer": "Adagrad", "lr": 0.2}, {"step": 1000, "lr": 0.02}]]
+    )
+    regimes.update(1, 0)
+    assert regimes.hparams()[0]["lr"] == 0.2
+    regimes.update(1, 500)
+    assert regimes.hparams()[0]["lr"] == 0.2
+    regimes.update(1, 1000)
+    assert regimes.hparams()[0]["lr"] == 0.02
+
+
+def test_phase_switch_carries_over_unspecified_hparams():
+    regimes = OptimizerRegimes(
+        [[{"optimizer": "Adagrad", "lr": 0.2, "weight_decay": 1e-10},
+          {"step": 10, "lr": 0.02}]]
+    )
+    regimes.update(1, 0)
+    regimes.update(1, 10)
+    hp = regimes.hparams()[0]
+    assert hp["lr"] == 0.02
+    assert hp["weight_decay"] == 1e-10  # inherited from the earlier phase

@@ -132,3 +132,39 @@ def test_rank_tie_handling():
         None,
     )
     assert ranks2[0] == 1
+
+
+def test_bigram_batchnorm_pad_row_frozen(toy_dataset_dir):
+    """Bigram + batchnorm leaked gradient into the PAD token row before the
+    stop-gradient fix; the PAD row must stay bit-identical under training."""
+    tds = OneToNMentionRelationDataset(
+        dataset_dir=toy_dataset_dir, input_file="train.txt", is_training_data=True, batch_size=4
+    )
+    model = build_model(
+        "BigramPoolingComplexRelationModel", tds.meta,
+        entity_slot_size=8, relation_slot_size=8, normalize="batchnorm",
+    )
+    variables = model.init(jax.random.key(0))
+    pad_before = np.asarray(variables["params"]["entity_token_embedding"][0]).copy()
+    variables, first, last = _train_from(model, variables, tds, epochs=5, lr=0.2)
+    pad_after = np.asarray(variables["params"]["entity_token_embedding"][0])
+    np.testing.assert_array_equal(pad_before, pad_after)
+
+
+def _train_from(model, variables, tds, epochs=5, lr=0.2, seed=0):
+    regimes = OptimizerRegimes({"optimizer": "Adagrad", "lr": lr})
+    regimes.update(1, 0)
+    opt_state = regimes.init_state(variables["params"])
+    step = make_train_step(model, regimes, variables["params"])
+    key = jax.random.key(seed + 1)
+    first = last = None
+    for _ in range(epochs):
+        for b in BatchBuilder(tds, seed=seed).batches(shuffle=True):
+            key, sub = jax.random.split(key)
+            variables, opt_state, st = step(
+                variables, opt_state, _hp(regimes), train_batch_to_arrays(b), sub
+            )
+            l = float(st["loss_sum"]) / b.normalizer_loss
+            first = l if first is None else first
+            last = l
+    return variables, first, last
