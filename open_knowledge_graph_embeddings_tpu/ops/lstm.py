@@ -58,11 +58,13 @@ def lstm_forward(params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     )
 
     if pallas_supported(B, L, H):
-        # time-major input projection feeds the fused Pallas recurrence
+        # time-major input projection feeds the fused Pallas recurrence;
+        # carried in the compute dtype (bf16 halves the HBM traffic of the
+        # largest sequence tensor; gate math inside the kernel is f32)
         x_proj_tm = (
             jnp.einsum("bld,dh->lbh", x, w_ih_t, preferred_element_type=jnp.float32) + bias
-        )
-        return jnp.swapaxes(lstm_scan_pallas(x_proj_tm, w_hh_t), 0, 1)
+        ).astype(dtype)
+        return jnp.swapaxes(lstm_scan_pallas(x_proj_tm, w_hh_t), 0, 1).astype(dtype)
 
     # Hoist the input projection out of the scan: one big [B*L, D]x[D, 4H]
     # MXU matmul instead of L small ones.

@@ -54,7 +54,7 @@ def _fwd_kernel(xp_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr):
 
     h = h_scr[:]
     c = c_scr[:]
-    gates = xp_ref[0] + jnp.dot(
+    gates = xp_ref[0].astype(jnp.float32) + jnp.dot(
         h.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32
     )
     H = h.shape[-1]
@@ -66,14 +66,19 @@ def _fwd_kernel(xp_ref, whh_ref, hs_ref, cs_ref, h_scr, c_scr):
     h = o * jnp.tanh(c)
     h_scr[:] = h
     c_scr[:] = c
-    hs_ref[0] = h
-    cs_ref[0] = c
+    hs_ref[0] = h.astype(hs_ref.dtype)
+    cs_ref[0] = c.astype(cs_ref.dtype)
 
 
 def _lstm_fwd_pallas(x_proj_tm: jax.Array, w_hh_t: jax.Array) -> Tuple[jax.Array, jax.Array]:
-    """x_proj_tm [L, B, 4H] f32, w_hh_t [H, 4H] -> (hs, cs) [L, B, H] f32."""
+    """x_proj_tm [L, B, 4H], w_hh_t [H, 4H] -> (hs, cs) [L, B, H].
+
+    Sequence tensors (x_proj, hs, cs) stay in x_proj's dtype — bf16 in the
+    mixed-precision path — while the recurrent state and gate math are f32
+    in VMEM scratch."""
     L, B, H4 = x_proj_tm.shape
     H = H4 // 4
+    dt = x_proj_tm.dtype
     TB = _pick_tile(B)
     grid = (B // TB, L)
     hs, cs = pl.pallas_call(
@@ -88,8 +93,8 @@ def _lstm_fwd_pallas(x_proj_tm: jax.Array, w_hh_t: jax.Array) -> Tuple[jax.Array
             pl.BlockSpec((1, TB, H), lambda b, t: (t, b, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((L, B, H), jnp.float32),
-            jax.ShapeDtypeStruct((L, B, H), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, H), dt),
+            jax.ShapeDtypeStruct((L, B, H), dt),
         ],
         scratch_shapes=[
             pltpu.VMEM((TB, H), jnp.float32),
@@ -115,11 +120,11 @@ def _bwd_kernel(
         dc_scr[:] = jnp.zeros_like(dc_scr)
 
     h_prev = hprev_ref[0]
-    c_prev = cprev_ref[0]
-    c_t = cs_ref[0]
+    c_prev = cprev_ref[0].astype(jnp.float32)
+    c_t = cs_ref[0].astype(jnp.float32)
 
     # recompute gate activations
-    gates = xp_ref[0] + jnp.dot(
+    gates = xp_ref[0].astype(jnp.float32) + jnp.dot(
         h_prev.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32
     )
     H = c_t.shape[-1]
@@ -128,7 +133,7 @@ def _bwd_kernel(
     g = jnp.tanh(gates[:, 2 * H : 3 * H])
     o = jax.nn.sigmoid(gates[:, 3 * H :])
 
-    dh = dh_scr[:] + dhs_ref[0]
+    dh = dh_scr[:] + dhs_ref[0].astype(jnp.float32)
     tc = jnp.tanh(c_t)
     do = dh * tc
     dc = dc_scr[:] + dh * o * (1.0 - tc * tc)
@@ -146,7 +151,7 @@ def _bwd_kernel(
         ],
         axis=-1,
     )
-    dxp_ref[0] = dgates
+    dxp_ref[0] = dgates.astype(dxp_ref.dtype)
     # dh_prev = dgates @ w_hh^T   ([TB,4H] x [4H,H])
     dh_scr[:] = jax.lax.dot_general(
         dgates.astype(whh_ref.dtype), whh_ref[:],
@@ -162,11 +167,12 @@ def _lstm_bwd_pallas(
     """Time-major residuals; returns (dx_proj [L, B, 4H], dw_hh_t [H, 4H])."""
     L, B, H4 = x_proj_tm.shape
     H = H4 // 4
+    dt = x_proj_tm.dtype
     TB = min(_pick_tile(B), 128)  # smaller tile: bwd streams 6 seq tensors
     grid = (B // TB, L)
 
     # shifted residuals: h_prev[t] = hs[t-1] (zeros at t=0)
-    zeros = jnp.zeros((1, B, H), jnp.float32)
+    zeros = jnp.zeros((1, B, H), hs.dtype)
     h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
     c_prev = jnp.concatenate([zeros, cs[:-1]], axis=0)
 
@@ -183,7 +189,7 @@ def _lstm_bwd_pallas(
             pl.BlockSpec((1, TB, H), rev, memory_space=pltpu.VMEM),  # dhs
         ],
         out_specs=pl.BlockSpec((1, TB, H4), rev, memory_space=pltpu.VMEM),  # dx_proj
-        out_shape=jax.ShapeDtypeStruct((L, B, H4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((L, B, H4), dt),
         scratch_shapes=[
             pltpu.VMEM((TB, H), jnp.float32),
             pltpu.VMEM((TB, H), jnp.float32),

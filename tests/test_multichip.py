@@ -85,3 +85,26 @@ def test_sharded_matches_single_device(toy_dataset_dir):
         np.asarray(v2["params"]["entity_embedding"]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_sharded_eval_matches_single_device(toy_dataset_dir):
+    from open_knowledge_graph_embeddings_tpu.data import BatchBuilder, OneToNMentionRelationDataset
+    from open_knowledge_graph_embeddings_tpu.models import build_model
+    from open_knowledge_graph_embeddings_tpu.parallel import make_mesh, variables_shardings
+    from open_knowledge_graph_embeddings_tpu.train import eval_batch_to_arrays, make_eval_step
+
+    vds = OneToNMentionRelationDataset(
+        dataset_dir=toy_dataset_dir, input_file="valid.txt", is_training_data=False, batch_size=4
+    )
+    vds.attach_filter_index("train.txt", "valid.txt", "test.txt")
+    model = build_model("LookupComplexRelationModel", vds.meta, entity_slot_size=8, init_std=0.1)
+    variables = model.init(jax.random.key(0))
+    eval_step = make_eval_step(model)
+    batch = eval_batch_to_arrays(next(BatchBuilder(vds).batches()))
+
+    single = np.asarray(eval_step(variables, batch))
+
+    mesh = make_mesh(data=4, model=2)
+    vs = jax.device_put(variables, variables_shardings(variables, mesh))
+    sharded = np.asarray(make_eval_step(model)(vs, batch))
+    np.testing.assert_allclose(single, sharded, rtol=1e-5, atol=1e-5)
