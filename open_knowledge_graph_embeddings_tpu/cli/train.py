@@ -145,5 +145,9 @@ def main(args: Dict[str, Any]) -> Trainer:
     return trainer
 
 
-if __name__ == "__main__":
+def cli_main():
     main(parse_cli(sys.argv[1:]))
+
+
+if __name__ == "__main__":
+    cli_main()
