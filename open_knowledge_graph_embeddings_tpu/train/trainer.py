@@ -177,6 +177,7 @@ class Trainer:
 
         n_batches = len(self.train_builder)
         self.len_train_batches = max(n_batches, 1)
+        profile_steps = int(self.args.get("profile_steps") or 0)
         # Device stats are fetched lazily in one stacked transfer at print /
         # hook boundaries: the remote-TPU path charges a round trip per
         # fetched scalar, which would otherwise dominate small steps.
@@ -195,6 +196,14 @@ class Trainer:
             pending.clear()
 
         for step_i, batch in enumerate(self.train_builder.batches(shuffle=True, prefetch=2)):
+            if profile_steps and self.training_steps == 1:
+                jax.profiler.start_trace(f"{self.save_path}/profile")
+                self._profiling_until = self.training_steps + profile_steps
+            if profile_steps and getattr(self, "_profiling_until", None) == self.training_steps:
+                jax.profiler.stop_trace()
+                logger.info("wrote profiler trace to %s/profile", self.save_path)
+                self._profiling_until = None
+                profile_steps = 0
             self.training_steps += 1
             if self.regimes.update(self.epoch, self.training_steps):
                 # optimizer type changed: fresh state + rebuilt step
@@ -451,6 +460,11 @@ class Trainer:
             load_optimizer=not (reset_optimizer or dont_load_optimizer),
         )
         self.training_steps = int(meta.get("training_steps", 0))
+        # restore the per-eval results history (reference: openkge/trainer.py:591-593)
+        prior_rows = meta.get("results")
+        if prior_rows:
+            self.results.rows = list(prior_rows)
+            self.results.save()
         if freeze_param:
             patterns = [freeze_param] if isinstance(freeze_param, str) else list(freeze_param)
             new = [p for p in patterns if p not in self.regimes.frozen_patterns]

@@ -130,3 +130,15 @@ def test_resume_freeze_keeps_params_fixed(toy_dataset_dir, tmp_path):
         np.asarray(trainer2.variables["params"]["entity_embedding"]),
         np.asarray(trainer.variables["params"]["entity_embedding"]),
     )
+
+
+def test_results_restored_on_resume(toy_dataset_dir, tmp_path):
+    trainer = main(_toy_args(toy_dataset_dir, tmp_path, epochs=5))
+    rows_before = len(trainer.results.to_dicts())
+    assert rows_before > 0
+    path = trainer.save()
+    args2 = _toy_args(toy_dataset_dir, tmp_path, experiment_dir=str(tmp_path / "exp_r"),
+                      train=False, epochs=0)
+    trainer2 = main(args2)
+    trainer2.load(path)
+    assert len(trainer2.results.to_dicts()) == rows_before
