@@ -16,7 +16,7 @@ import argparse
 import sys
 
 from open_knowledge_graph_embeddings_tpu.config.options import load_config
-from open_knowledge_graph_embeddings_tpu.data.dataset import OneToNMentionRelationDataset
+from open_knowledge_graph_embeddings_tpu.data.dataset import load_meta
 from open_knowledge_graph_embeddings_tpu.inference import Predictor
 from open_knowledge_graph_embeddings_tpu.models.model import build_model
 from open_knowledge_graph_embeddings_tpu.train.checkpoint import load_checkpoint
@@ -39,14 +39,12 @@ def main(argv=None):
 
     import jax
 
-    ds = OneToNMentionRelationDataset(
-        dataset_dir=args["dataset_dir"],
-        is_training_data=True,
-        **{k: v for k, v in args["train_data_config"].items()
-           if k in ("input_file", "batch_size", "use_batch_shared_entities",
-                    "min_size_batch_labels", "max_size_prefix_label")},
+    # only vocabulary metadata is needed — skip the full dataset indexing
+    meta = load_meta(
+        args["dataset_dir"],
+        tuple(args.get("experiment_settings", {}).get("max_lengths_tuple", (10, 10))),
     )
-    model = build_model(args["model"], ds.meta, **(args.get("model_config") or {}))
+    model = build_model(args["model"], meta, **(args.get("model_config") or {}))
     variables = model.init(jax.random.key(0))
     variables, _, _ = load_checkpoint(known.resume, variables, {}, load_optimizer=False)
     predictor = Predictor(model, variables, dataset_dir=args["dataset_dir"])

@@ -45,13 +45,14 @@ def _load() -> Optional[ctypes.CDLL]:
         path = _lib_path()
         if not os.path.exists(path):
             os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.tmp{os.getpid()}"  # per-process: concurrent builds don't collide
             cmd = [
                 "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                "-o", path + ".tmp", _SRC,
+                "-o", tmp, _SRC,
             ]
             try:
                 subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-                os.replace(path + ".tmp", path)
+                os.replace(tmp, path)
             except Exception as e:  # missing toolchain / sandbox: fall back
                 logger.warning("native build failed (%s); using python readers", e)
                 return None

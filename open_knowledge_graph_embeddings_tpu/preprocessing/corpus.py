@@ -186,7 +186,10 @@ def aggregate_triples(
     mention_vocab_size: int = 200_000,
     relation_vocab_size: int = 50_000,
     min_count: int = 3,
-    drop_relations: Sequence[Tuple[str, ...]] = (("be",), ("have",)),
+    drop_relations: Sequence[Tuple[str, ...]] = (
+        ("is:impl_appos-clause",),
+        ("is:impl_appos-clause", "in:impl_appos-clause"),
+    ),
 ) -> Tuple[List[Tuple[Tuple[Tokens, Tokens, Tokens], Tuple[Optional[str], Optional[str]]]], Counter, Counter]:
     """Dedup + link + vocab-restrict raw extractions.
 
@@ -195,11 +198,12 @@ def aggregate_triples(
     * per slot, pick the most popular link if its vote share passes the
       ``1 - 1/log(total_votes)`` confidence threshold
       (reference: process_triples.py:77-79),
-    * drop self-loops (same link both slots),
-    * restrict to the top-K mention/relation token vocabularies and drop
-      mentions/relations rarer than ``min_count``
-      (reference acl2020 config: 200k/50k, count > 2),
-    * drop configured implicit-appositive relations
+    * self-loops (same link both slots) keep the triple but null both links
+      (reference: process_triples.py:102-107),
+    * restrict to the top-K mention/relation token vocabularies, THEN count
+      surviving mentions/relations and drop those rarer than ``min_count``
+      (reference order: process_triples.py:139-159, count > 2),
+    * drop configured implicit-appositive marker relations
       (reference: process_triples.py:168-169).
     """
     by_key: Dict[Tuple[Tokens, Tokens, Tokens], Dict] = {}
@@ -227,37 +231,42 @@ def aggregate_triples(
 
     mention_tokens = Counter()
     relation_tokens = Counter()
-    mention_counts = Counter()
-    relation_counts = Counter()
     linked: List[Tuple[Tuple[Tokens, Tokens, Tokens], Tuple[Optional[str], Optional[str]]]] = []
     for (s, r, o), info in by_key.items():
         se = pick_link(info["s_links"])
         oe = pick_link(info["o_links"])
         if se is not None and se == oe:
-            continue
+            # same link on both slots: something is wrong with the linking;
+            # keep the triple, null the links (reference :102-107)
+            se = oe = None
         linked.append(((s, r, o), (se, oe)))
         mention_tokens.update(s)
         mention_tokens.update(o)
         relation_tokens.update(r)
-        mention_counts[s] += 1
-        mention_counts[o] += 1
-        relation_counts[r] += 1
 
     keep_mention_toks = {t for t, _ in mention_tokens.most_common(mention_vocab_size)}
     keep_relation_toks = {t for t, _ in relation_tokens.most_common(relation_vocab_size)}
-    drop_rel_set = {tuple(r) for r in drop_relations}
 
+    # token-vocab restriction first, then recount survivors (reference order)
+    tok_filtered = [
+        t for t in linked
+        if all(x in keep_mention_toks for x in t[0][0] + t[0][2])
+        and all(x in keep_relation_toks for x in t[0][1])
+    ]
+    mention_counts = Counter()
+    relation_counts = Counter()
+    for (s, r, o), _ in tok_filtered:
+        mention_counts.update((s, o))
+        relation_counts[r] += 1
+
+    drop_rel_set = {tuple(r) for r in drop_relations}
     out = []
-    for (s, r, o), links in linked:
+    for (s, r, o), links in tok_filtered:
         if r in drop_rel_set:
             continue
         if mention_counts[s] < min_count or mention_counts[o] < min_count:
             continue
         if relation_counts[r] < min_count:
-            continue
-        if not all(t in keep_mention_toks for t in s + o):
-            continue
-        if not all(t in keep_relation_toks for t in r):
             continue
         out.append(((s, r, o), links))
     return out, mention_tokens, relation_tokens

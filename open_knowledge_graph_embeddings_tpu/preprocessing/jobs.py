@@ -240,7 +240,15 @@ class MapToIds(PipelineJob):
                 _p(opts, "validation_data_linked.txt"),
                 _p(opts, "test_data.txt"),
             ],
-            [_p(opts, "mapped_to_ids", "entity_id_map.txt")],
+            [
+                _p(opts, "mapped_to_ids", "entity_id_map.txt"),
+                _p(opts, "mapped_to_ids", "train_data_thorough.txt"),
+                _p(opts, "mapped_to_ids", "train_data_simple.txt"),
+                _p(opts, "mapped_to_ids", "train_data_basic.txt"),
+                _p(opts, "mapped_to_ids", "validation_data.txt"),
+                _p(opts, "mapped_to_ids", "validation_data_linked.txt"),
+                _p(opts, "mapped_to_ids", "test_data.txt"),
+            ],
             opts,
             jobs,
         )

@@ -56,7 +56,7 @@ def query_full_triple(index: TripleSearchIndex, triple: LinkedTriple, entity_men
     for q1, q2 in pairs:
         pos = (
             index.term("subject_mention_exact", q1)
-            & index.match("relation", r_text)
+            & index.match_any("relation", r_text)  # ES match = OR over tokens
             & index.term("object_mention_exact", q2)
         )
         out |= index.hits(pos)

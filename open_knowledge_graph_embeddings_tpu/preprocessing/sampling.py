@@ -44,10 +44,15 @@ def sample_evaluation_data(
                 taken.add(int(i))
         return out
 
-    both_linked = lambda t: t[1][0] is not None and t[1][1] is not None
+    # all three sets draw from long-relation triples; the linked sets
+    # additionally require both slots entity-linked
+    # (reference: sample_evaluation_data.py:42-45)
     long_relation = lambda t: len(t[0][1]) >= min_relation_tokens
+    linked_long = lambda t: (
+        long_relation(t) and t[1][0] is not None and t[1][1] is not None
+    )
 
     validation_ids = take(long_relation, eval_size)
-    validation_linked_ids = take(both_linked, eval_size)
-    test_ids = take(both_linked, eval_size)
+    validation_linked_ids = take(linked_long, eval_size)
+    test_ids = take(linked_long, eval_size)
     return validation_ids, validation_linked_ids, test_ids

@@ -79,11 +79,22 @@ class TripleSearchIndex:
         return out
 
     def match(self, field: str, text: str) -> Set[int]:
-        """Docs containing every query token in ``field``."""
+        """Docs containing every query token in ``field`` (bool-must of
+        single-word match clauses)."""
         toks = text.split() if isinstance(text, str) else list(text)
         if not toks:
             return set()
         return self._candidates(field, toks)
+
+    def match_any(self, field: str, text: str) -> Set[int]:
+        """Docs containing at least one query token — ES default ``match``
+        (OR) semantics, used for the relation clause of the full-triple
+        query (reference: create_training_data.py:566)."""
+        toks = text.split() if isinstance(text, str) else list(text)
+        out: Set[int] = set()
+        for t in set(toks):
+            out |= set(self._inv[field].get(t, ()))
+        return out
 
     def match_phrase(self, field: str, text: str) -> Set[int]:
         toks = tuple(text.split() if isinstance(text, str) else text)

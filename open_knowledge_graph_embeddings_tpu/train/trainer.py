@@ -470,7 +470,20 @@ class Trainer:
             new = [p for p in patterns if p not in self.regimes.frozen_patterns]
             if new:
                 self.regimes.frozen_patterns.extend(new)
-                self.opt_state = self.regimes.init_state(self.variables["params"])
+                # keep the just-loaded accumulators for leaves that remain
+                # trainable; only newly-frozen leaves get the empty state
+                # (reference keeps optimizer state, openkge/trainer.py:532-536)
+                loaded_state = self.opt_state
+                fresh = self.regimes.init_state(self.variables["params"])
+
+                def merge(f, l):
+                    return l if isinstance(f, dict) and f and isinstance(l, dict) and set(f) == set(l) else f
+
+                self.opt_state = jax.tree_util.tree_map(
+                    merge, fresh, loaded_state, is_leaf=lambda x: isinstance(x, dict) and (
+                        not x or not any(isinstance(v, dict) for v in x.values())
+                    ),
+                )
                 self._rebuild_steps()
                 logger.info("froze parameters matching %s", patterns)
         return meta

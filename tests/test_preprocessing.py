@@ -231,14 +231,15 @@ def test_aggregate_triples():
 
 def test_sample_evaluation_data():
     triples = []
-    for i in range(30):
+    for i in range(60):
         linked = ("E%d" % i, "F%d" % i) if i % 2 == 0 else (None, None)
         rel = ("r", "x", "y") if i % 3 == 0 else ("r",)
         triples.append((((f"s{i}",), rel, (f"o{i}",)), linked))
     v, vl, t = sample_evaluation_data(triples, eval_size=3, seed=1)
     assert len(v) == 3 and len(vl) == 3 and len(t) == 3
     assert not (set(v) & set(vl)) and not (set(vl) & set(t)) and not (set(v) & set(t))
-    for i in v:
+    # all three sets require long relations; linked sets also require links
+    for i in v + vl + t:
         assert len(triples[i][0][1]) >= 3
     for i in vl + t:
         assert triples[i][1][0] is not None and triples[i][1][1] is not None

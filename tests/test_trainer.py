@@ -132,6 +132,24 @@ def test_resume_freeze_keeps_params_fixed(toy_dataset_dir, tmp_path):
     )
 
 
+def test_resume_freeze_preserves_loaded_optimizer_state(toy_dataset_dir, tmp_path):
+    """Freezing one table on resume must NOT zero the loaded Adagrad
+    accumulators of the still-trainable tables."""
+    trainer = main(_toy_args(toy_dataset_dir, tmp_path, epochs=3))
+    path = trainer.save()
+    acc_before = np.asarray(trainer.opt_state["entity_embedding"]["sum"]).copy()
+    assert acc_before.sum() > 0
+
+    args = _toy_args(toy_dataset_dir, tmp_path, experiment_dir=str(tmp_path / "expfz"),
+                     resume=path, resume_freeze=["relation_embedding"],
+                     train=False, epochs=0)
+    trainer2 = main(args)
+    np.testing.assert_array_equal(
+        np.asarray(trainer2.opt_state["entity_embedding"]["sum"]), acc_before
+    )
+    assert trainer2.opt_state["relation_embedding"] == {}
+
+
 def test_results_restored_on_resume(toy_dataset_dir, tmp_path):
     trainer = main(_toy_args(toy_dataset_dir, tmp_path, epochs=5))
     rows_before = len(trainer.results.to_dicts())
