@@ -184,7 +184,7 @@ class KGEModel:
     # ---------------------------------------------------------- precompute
 
     def encode_all_entities(
-        self, variables: Variables, chunk_size: int = 8192
+        self, variables: Variables, chunk_size: int = 32768
     ) -> jax.Array:
         """Materialize candidate embeddings for every entity id (eval-time
         cache for token-composition embedders; reference:
@@ -193,7 +193,12 @@ class KGEModel:
         One jitted program: a sequential `lax.map` over id chunks, so the
         2.5M-mention OLPBench vocabulary encodes in a single device dispatch
         with bounded per-chunk activation memory.  The cache is kept in the
-        embedder's compute dtype (bf16 halves its HBM footprint)."""
+        embedder's compute dtype (bf16 halves its HBM footprint).
+
+        Keep ``chunk_size`` large: remote-TPU compile time grows with the
+        number of map iterations (measured 390s at 37 chunks vs 14s at 5
+        chunks for the same workload), while execution is sub-second either
+        way.  32768 bounds per-chunk activations to ~1.4GB at d=512."""
         cache_key = ("enc_all", chunk_size)
         cached = self.__dict__.setdefault("_jit_cache", {}).get(cache_key)
         if cached is not None:

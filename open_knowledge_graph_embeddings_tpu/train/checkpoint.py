@@ -40,6 +40,17 @@ def flatten_arrays(tree: Any, prefix: str) -> Dict[str, np.ndarray]:
     return out
 
 
+def flatten_shapes(tree: Any, prefix: str) -> Dict[str, tuple]:
+    """Leaf shapes by flattened path — no device->host transfer (flattening
+    the actual arrays costs minutes over a remote-TPU link)."""
+    out: Dict[str, tuple] = {}
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    for kp, leaf in flat:
+        path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+        out[f"{prefix}/{path}" if path else prefix] = tuple(getattr(leaf, "shape", ()))
+    return out
+
+
 def unflatten_into(tree: Any, prefix: str, arrays: Dict[str, np.ndarray]) -> Any:
     """Rebuild ``tree`` with leaves replaced by matching entries of ``arrays``."""
 
@@ -113,12 +124,12 @@ def load_checkpoint(
                 del arrays[k]
     # drop shape mismatches (strict=False semantics, reference :519-530)
     example = {}
-    example.update(flatten_arrays(variables.get("params", {}), "params"))
-    example.update(flatten_arrays(variables.get("state", {}), "state"))
-    example.update(flatten_arrays(opt_state, "opt"))
+    example.update(flatten_shapes(variables.get("params", {}), "params"))
+    example.update(flatten_shapes(variables.get("state", {}), "state"))
+    example.update(flatten_shapes(opt_state, "opt"))
     for k in list(arrays):
-        if k in example and example[k].shape != arrays[k].shape:
-            logger.warning("skipping %s: shape %s != %s", k, arrays[k].shape, example[k].shape)
+        if k in example and example[k] != arrays[k].shape:
+            logger.warning("skipping %s: shape %s != %s", k, arrays[k].shape, example[k])
             del arrays[k]
     new_vars = dict(variables)
     new_vars["params"] = unflatten_into(variables["params"], "params", arrays)
