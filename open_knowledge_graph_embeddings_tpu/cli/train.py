@@ -83,6 +83,10 @@ def main(args: Dict[str, Any]) -> Trainer:
     if seed > 0:
         set_global_seeds(seed)
 
+    precision = args.get("matmul_precision")
+    if precision and precision != "default":
+        jax.config.update("jax_default_matmul_precision", precision)
+
     train_data = setup_dataset(args, args["train_data_config"], is_training_data=True)
     valid_data = setup_dataset(args, args["val_data_config"], is_training_data=False)
     test_data = setup_dataset(args, args["test_data_config"], is_training_data=False)

@@ -81,13 +81,27 @@ class Trainer:
         self.model = model
         self.train_dataset = train_dataset
         self.validation_dataset = validation_dataset
-        self.mesh = mesh
 
         seed = int(args.get("seed") or 0)
         self.rng_key = jax.random.key(seed if seed > 0 else 0)
         self.variables = variables if variables is not None else model.init(
             jax.random.key(seed if seed > 0 else 0)
         )
+
+        # device mesh: shard tables/candidates over `model`, rows over `data`
+        # (config keys use_mesh / model_parallel; single device -> no mesh)
+        if mesh is None and args.get("use_mesh", True) and len(jax.devices()) > 1:
+            from open_knowledge_graph_embeddings_tpu.parallel import default_mesh
+
+            mesh = default_mesh(model_parallel=int(args.get("model_parallel") or 1))
+        self.mesh = mesh
+        if self.mesh is not None:
+            from open_knowledge_graph_embeddings_tpu.parallel import variables_shardings
+
+            self.variables = jax.device_put(
+                self.variables, variables_shardings(self.variables, self.mesh)
+            )
+            logger.info("device mesh: %s", dict(self.mesh.shape))
 
         self.loss_type = args.get("experiment_settings", {}).get("loss", "bce")
         self.label_smoothing = float(args.get("bce_label_smoothing") or 0.0)
@@ -103,6 +117,18 @@ class Trainer:
         )
         self.regimes.update(1, 0)
         self.opt_state = self.regimes.init_state(self.variables["params"])
+        if self.mesh is not None:
+            from open_knowledge_graph_embeddings_tpu.parallel import (
+                opt_state_shardings,
+                variables_shardings,
+            )
+
+            self.opt_state = jax.device_put(
+                self.opt_state,
+                opt_state_shardings(
+                    self.opt_state, variables_shardings(self.variables, self.mesh), self.mesh
+                ),
+            )
         self._rebuild_steps()
 
         self.train_builder = BatchBuilder(train_dataset, seed=seed)

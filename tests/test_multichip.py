@@ -108,3 +108,34 @@ def test_sharded_eval_matches_single_device(toy_dataset_dir):
     vs = jax.device_put(variables, variables_shardings(variables, mesh))
     sharded = np.asarray(make_eval_step(model)(vs, batch))
     np.testing.assert_allclose(single, sharded, rtol=1e-5, atol=1e-5)
+
+
+def test_cli_trains_on_mesh(toy_dataset_dir, tmp_path):
+    """use_mesh + model_parallel through the CLI: trains sharded over the
+    8-device CPU mesh with the tables split over the model axis."""
+    from open_knowledge_graph_embeddings_tpu.cli.train import main
+    from open_knowledge_graph_embeddings_tpu.config.options import load_config
+
+    args = load_config()
+    args.update(
+        dataset_dir=toy_dataset_dir,
+        experiment_dir=str(tmp_path / "exp"),
+        epochs=4, batch_size=4, eval_epoch_freq=2, eval_freq=-1,
+        save_epoch_freq=100, print_freq=100,
+        use_mesh=True, model_parallel=2,
+        model="LookupComplexRelationModel",
+        model_config={"entity_slot_size": 8, "init_std": 0.1},
+        optimization_config={"optimizer": "Adagrad", "lr": 0.3},
+        train_data_config={"input_file": "train.txt", "batch_size": 4,
+                           "use_batch_shared_entities": False},
+        val_data_config={"input_file": "valid.txt", "batch_size": 4,
+                         "use_batch_shared_entities": False},
+        test_data_config={"input_file": "test.txt", "batch_size": 4,
+                          "use_batch_shared_entities": False},
+    )
+    trainer = main(args)
+    assert trainer.mesh is not None and dict(trainer.mesh.shape) == {"data": 4, "model": 2}
+    # entity table really is sharded over the model axis
+    sh = trainer.variables["params"]["entity_embedding"].sharding
+    assert "model" in str(sh.spec)
+    assert trainer.training_steps > 0
