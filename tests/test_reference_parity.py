@@ -332,3 +332,93 @@ class TestMetricsParity:
             assert float(sums[m]) / cnt == pytest.approx(
                 ref_result[m].avg, abs=1e-5
             ), f"metric {m}"
+
+
+class TestLSTMTucker3Parity:
+    def test_scores(self, rng):
+        ref_meta, our_meta = _metas(rng)
+        d = 4
+        ref = RefModels.LSTMTucker3RelationModel(
+            entity_slot_size=d, relation_slot_size=d, train_data=ref_meta, init_std=0.1
+        )
+        our = build_model(
+            "LSTMTucker3RelationModel", our_meta, entity_slot_size=d, relation_slot_size=d
+        )
+        variables = our.init(jax.random.key(0))
+        p = variables["params"]
+        p["entity_token_embedding"] = jnp.asarray(ref.entity_embedding.weight.detach().numpy())
+        p["relation_token_embedding"] = jnp.asarray(
+            ref.relation_embedding.weight.detach().numpy()
+        )
+        for kind, lstm in (("entity", ref.entity_encoder_in), ("relation", ref.relation_encoder_in)):
+            p[f"{kind}_lstm"] = {
+                "w_ih": jnp.asarray(lstm.weight_ih_l0.detach().numpy()),
+                "w_hh": jnp.asarray(lstm.weight_hh_l0.detach().numpy()),
+                "b_ih": jnp.asarray(lstm.bias_ih_l0.detach().numpy()),
+                "b_hh": jnp.asarray(lstm.bias_hh_l0.detach().numpy()),
+            }
+        # projection head: Linear d->d^2 + BatchNorm1d (port both)
+        lin = [m for m in ref.relation_projection.modules() if isinstance(m, torch.nn.Linear)][0]
+        bn = [m for m in ref.relation_projection.modules() if isinstance(m, torch.nn.BatchNorm1d)][0]
+        p["relation_projection"]["w"] = jnp.asarray(lin.weight.detach().numpy())
+        p["relation_projection"]["bn"]["scale"] = jnp.asarray(bn.weight.detach().numpy())
+        p["relation_projection"]["bn"]["bias"] = jnp.asarray(bn.bias.detach().numpy())
+        variables["state"]["relation_projection_bn"]["mean"] = jnp.asarray(
+            bn.running_mean.numpy()
+        )
+        variables["state"]["relation_projection_bn"]["var"] = jnp.asarray(bn.running_var.numpy())
+        subj, rel, obj = _inputs(rng)
+        _compare_prefix_scores(ref, our, variables, subj, rel, obj, atol=1e-4)
+
+
+class TestBigramGatedParity:
+    def test_gated_encode(self, rng):
+        ref_meta, our_meta = _metas(rng)
+        d = 8
+        ref = RefModels.BigramPoolingComplexRelationModel(
+            entity_slot_size=d, relation_slot_size=d, train_data=ref_meta, gates=True,
+        )
+        our = build_model(
+            "BigramPoolingComplexRelationModel", our_meta,
+            entity_slot_size=d, relation_slot_size=d, gates=True,
+        )
+        variables = our.init(jax.random.key(0))
+        p = variables["params"]
+        p["entity_token_embedding"] = jnp.asarray(ref.entity_embedding.weight.detach().numpy())
+        p["relation_token_embedding"] = jnp.asarray(
+            ref.relation_embedding.weight.detach().numpy()
+        )
+        for kind, enc in (("entity", ref.entity_encoder_in), ("relation", ref.relation_encoder_in)):
+            conv = [m for m in enc.modules() if isinstance(m, torch.nn.Conv1d)][0]
+            p[f"{kind}_conv"] = jnp.asarray(conv.weight.detach().numpy())
+        subj, rel, obj = _inputs(rng)
+        ref.eval()
+        with torch.no_grad():
+            ref_e = ref._encode(
+                ref.entity_token_ids[torch.LongTensor(subj)].long(),
+                ref.entity_embedding, ref.entity_encoder_in, None, 0.0,
+            ).squeeze(1).numpy()
+        our_e, _, _ = our.embedder.encode_entity(variables, jnp.asarray(subj), train=False)
+        np.testing.assert_allclose(np.asarray(our_e), ref_e, rtol=1e-4, atol=1e-5)
+
+
+class TestUnigramMaxParity:
+    def test_max_pool(self, rng):
+        ref_meta, our_meta = _metas(rng)
+        d = 8
+        ref = RefModels.UnigramPoolingComplexRelationModel(
+            entity_slot_size=d, relation_slot_size=d, train_data=ref_meta, pool="max"
+        )
+        ref.entity_projection = None
+        our = build_model(
+            "UnigramPoolingComplexRelationModel", our_meta,
+            entity_slot_size=d, relation_slot_size=d, pool="max",
+        )
+        variables = our.init(jax.random.key(0))
+        p = variables["params"]
+        p["entity_token_embedding"] = jnp.asarray(ref.entity_embedding.weight.detach().numpy())
+        p["relation_token_embedding"] = jnp.asarray(
+            ref.relation_embedding.weight.detach().numpy()
+        )
+        subj, rel, obj = _inputs(rng)
+        _compare_prefix_scores(ref, our, variables, subj, rel, obj)
