@@ -204,3 +204,64 @@ def test_batch_shared_train_parity(ref_setup):
             continue
         got = set(cand[np.nonzero(our_dense[i])[0]].tolist())
         assert got == ref_by_key[k], f"row {k}"
+
+
+def test_batch_shared_eval_parity(ref_setup):
+    """Eval-mode batch-shared candidates: pool from all splits, gold
+    mention-alternative groups and filter masks translate identically
+    (min_size below unique count -> no random negatives -> deterministic)."""
+    d, _, ref_valid = ref_setup
+    inputs, _, _, labels, label_ids, filter_mask, ref_shared = _ref_batch(
+        ref_valid, True, min_size=1
+    )
+    ref_shared = ref_shared.view(-1).numpy()
+
+    ours = OneToNMentionRelationDataset(
+        dataset_dir=d, input_file="valid.txt", is_training_data=False, batch_size=100,
+        use_batch_shared_entities=True, min_size_batch_labels=1,
+    )
+    ours.attach_filter_index("train.txt", "valid.txt", "test.txt")
+    batch = next(BatchBuilder(ours, drop_last=False).batches())
+
+    # candidate pools agree as sets (reference misses its dropped prefixes)
+    assert set(ref_shared.tolist()) <= set(batch.candidate_ids[: batch.num_cols].tolist())
+
+    ref_keys = _ref_row_keys(ref_valid, inputs)
+    our_keys = _our_row_keys(batch)
+    cand = batch.candidate_ids
+
+    # gold groups as entity-id sets per (prefix, gold)
+    ref_golds = {}
+    for i, k in enumerate(ref_keys):
+        ref_golds[k] = sorted(
+            tuple(sorted(ref_shared[g.long().numpy()].tolist())) for g in label_ids[i]
+        )
+    our_golds = {}
+    gv = batch.gold_rows >= 0
+    for g in np.flatnonzero(gv):
+        r = int(batch.gold_rows[g])
+        cols = batch.gold_mention_cols[g]
+        ids = cand[cols[cols >= 0]]
+        our_golds.setdefault(our_keys[r], []).append(tuple(sorted(ids.tolist())))
+    for k, v in ref_golds.items():
+        assert sorted(our_golds[k]) == v, f"golds for {k}"
+
+    # filter sets as entity ids per row
+    from open_knowledge_graph_embeddings_tpu.train.evaluate import scatter_mask
+    import jax.numpy as jnp
+
+    our_mask = np.asarray(
+        scatter_mask(
+            jnp.asarray(batch.filter_rows), jnp.asarray(batch.filter_cols),
+            batch.batch_size, len(cand),
+        )
+    )
+    ref_mask = filter_mask.numpy()
+    ref_by_key = {
+        k: set(ref_shared[np.nonzero(ref_mask[i])[0]].tolist())
+        for i, k in enumerate(ref_keys)
+    }
+    for i, k in enumerate(our_keys):
+        if k in ref_by_key:
+            got = set(cand[np.nonzero(our_mask[i])[0]].tolist())
+            assert got == ref_by_key[k], f"filter for {k}"

@@ -160,3 +160,11 @@ def test_results_restored_on_resume(toy_dataset_dir, tmp_path):
     trainer2 = main(args2)
     trainer2.load(path)
     assert len(trainer2.results.to_dicts()) == rows_before
+
+
+def test_kl_loss_trains_via_cli(toy_dataset_dir, tmp_path):
+    args = _toy_args(toy_dataset_dir, tmp_path, experiment_dir=str(tmp_path / "expkl"))
+    args["experiment_settings"] = dict(args["experiment_settings"], loss="kl")
+    trainer = main(args)
+    rows = [r for r in trainer.results.to_dicts() if r.get("training_loss")]
+    assert float(rows[-1]["training_loss"]) < float(rows[0]["training_loss"])
