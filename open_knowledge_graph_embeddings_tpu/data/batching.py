@@ -308,6 +308,13 @@ class BatchBuilder:
         if len(shared) >= min_size:
             cand_real = shared
         else:
+            # no-replacement uniform negatives — the reference's exact
+            # semantics (numpy.random.choice(..., replace=False),
+            # openkge/dataset.py:853-856).  Host cost is NOT a concern:
+            # numpy's Generator.choice uses Floyd's hash-based sampling when
+            # size << population (measured 1.3 ms for 32768 of 2.47M — faster
+            # than randint+dedup at 4.5 ms), so this is both reference-exact
+            # and the fastest option.
             neg = self.rng.choice(
                 self.meta.entities_size - self.cand_offset, size=min_size, replace=False
             ).astype(np.int32) + self.cand_offset

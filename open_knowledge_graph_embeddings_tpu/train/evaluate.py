@@ -67,6 +67,27 @@ def ranks_from_scores(
     return ranks.astype(jnp.int32), gold_valid
 
 
+def filtered_topk(
+    scores: jax.Array,  # [B, N]
+    filter_rows: jax.Array,
+    filter_cols: jax.Array,
+    col_valid: Optional[jax.Array],
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Top-k candidate columns per prefix under the same filtering as the
+    ranking (known-true cells suppressed) — the ``log_predictions`` payload.
+    The reference declares the flag but never implements it
+    (reference: openkge/options.py:62, unused); here it is a real per-prefix
+    prediction dump.  Returns (top_scores [B,k], top_cols [B,k])."""
+    B, N = scores.shape
+    fmask = scatter_mask(filter_rows, filter_cols, B, N)
+    filtered = jnp.where(fmask, FILTER_VALUE, scores)
+    if col_valid is not None:
+        filtered = jnp.where(col_valid[None, :], filtered, -jnp.inf)
+    top_scores, top_cols = jax.lax.top_k(filtered, min(k, N))
+    return top_scores, top_cols.astype(jnp.int32)
+
+
 def metric_sums_from_ranks(ranks: jax.Array, gold_valid: jax.Array) -> Dict[str, jax.Array]:
     """Summed metric contributions over valid golds (host divides by count)."""
     v = gold_valid

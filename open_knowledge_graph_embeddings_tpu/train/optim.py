@@ -228,13 +228,14 @@ class OptimizerRegimes:
         phases = self.regimes[ri]
         current = self.current_phase[ri]
         if current is None:
+            # initial scan (e.g. resume without host meta): land on the LAST
+            # phase whose trigger has already passed, not the first
             current = 0
             for i, ph in enumerate(phases):
                 if epoch >= ph.get("epoch", float("inf")) or steps >= ph.get(
                     "step", float("inf")
                 ):
                     current = i
-                    break
         if current + 1 < len(phases):
             nxt = phases[current + 1]
             if epoch >= nxt.get("epoch", float("inf")) or steps >= nxt.get("step", float("inf")):
@@ -285,27 +286,56 @@ class OptimizerRegimes:
             out.append(hp)
         return out
 
-    # -- plateau scheduler (subset of torch ReduceLROnPlateau)
+    # -- lr schedulers (reference constructs any torch scheduler by name and
+    # steps it at validation time with (metric, epoch);
+    # reference: utils/optim.py:154-159, openkge/trainer.py:483-484)
 
-    def lr_scheduler_step(self, metric_value: float, greater_is_better: bool = True) -> None:
+    def lr_scheduler_step(
+        self, metric_value: float, greater_is_better: bool = True, epoch: Optional[int] = None
+    ) -> None:
         for ri, cfg in enumerate(self.lr_scheduler_config):
-            if not cfg or cfg.get("lr_scheduler") != "ReduceLROnPlateau":
+            if not cfg:
                 continue
-            factor = float(cfg.get("factor", 0.1))
-            patience = int(cfg.get("patience", 10))
-            st = self._plateau_state[ri] or {"best": None, "bad": 0}
-            better = st["best"] is None or (
-                metric_value > st["best"] if greater_is_better else metric_value < st["best"]
-            )
-            if better:
-                st["best"], st["bad"] = metric_value, 0
-            else:
-                st["bad"] += 1
-                if st["bad"] > patience:
-                    self.lr_scale[ri] *= factor
-                    st["bad"] = 0
-                    logger.info("ReduceLROnPlateau: regime %d lr_scale -> %g", ri, self.lr_scale[ri])
-            self._plateau_state[ri] = st
+            kind = cfg.get("lr_scheduler")
+            if kind == "ReduceLROnPlateau":
+                factor = float(cfg.get("factor", 0.1))
+                patience = int(cfg.get("patience", 10))
+                st = self._plateau_state[ri] or {"best": None, "bad": 0}
+                better = st["best"] is None or (
+                    metric_value > st["best"] if greater_is_better else metric_value < st["best"]
+                )
+                if better:
+                    st["best"], st["bad"] = metric_value, 0
+                else:
+                    st["bad"] += 1
+                    if st["bad"] > patience:
+                        self.lr_scale[ri] *= factor
+                        st["bad"] = 0
+                        logger.info(
+                            "ReduceLROnPlateau: regime %d lr_scale -> %g", ri, self.lr_scale[ri]
+                        )
+                self._plateau_state[ri] = st
+            elif kind in ("StepLR", "MultiStepLR", "ExponentialLR"):
+                # epoch-indexed schedulers: lr scale is a pure function of
+                # the epoch (torch closed-form with step(epoch))
+                if epoch is None:
+                    continue
+                gamma = float(cfg.get("gamma", 0.1))
+                if kind == "StepLR":
+                    scale = gamma ** (epoch // int(cfg.get("step_size", 1)))
+                elif kind == "MultiStepLR":
+                    milestones = sorted(cfg.get("milestones", []))
+                    scale = gamma ** sum(1 for m in milestones if epoch >= int(m))
+                else:  # ExponentialLR
+                    scale = gamma ** epoch
+                if scale != self.lr_scale[ri]:
+                    self.lr_scale[ri] = scale
+                    logger.info("%s: regime %d lr_scale -> %g", kind, ri, scale)
+            elif kind:
+                raise ValueError(
+                    f"unsupported lr_scheduler {kind!r} (supported: ReduceLROnPlateau, "
+                    "StepLR, MultiStepLR, ExponentialLR)"
+                )
 
     # -- device-side init/apply
 

@@ -171,13 +171,19 @@ def make_accum_steps(
     return zero_grads, grad_step, apply_step
 
 
-def make_eval_step(model: KGEModel, loss_type: str = "bce", label_smoothing: float = 0.0):
+def make_eval_step(
+    model: KGEModel, loss_type: str = "bce", label_smoothing: float = 0.0, topk: int = 0
+):
     """Returns jitted ``eval_step(variables, batch, cand_emb=None)`` ->
     stats dict with loss_sum, normalizer_metric and summed rank metrics.
 
     ``cand_emb`` (optional) is a precomputed [N, d] candidate matrix — the
     token-embedder eval cache (reference: openkge/model.py:670-712); when
-    absent candidates are encoded from ids / the full vocabulary."""
+    absent candidates are encoded from ids / the full vocabulary.
+
+    ``topk > 0`` additionally returns the filtered per-prefix top-k
+    (scores, columns) for prediction logging."""
+    from open_knowledge_graph_embeddings_tpu.train.evaluate import filtered_topk
 
     @jax.jit
     def eval_step(variables, batch, cand_emb=None):
@@ -218,6 +224,11 @@ def make_eval_step(model: KGEModel, loss_type: str = "bce", label_smoothing: flo
         packed = jnp.stack(
             [stats[k].astype(jnp.float32) for k in EVAL_STAT_KEYS]
         )
+        if topk > 0:
+            top_scores, top_cols = filtered_topk(
+                scores, batch["filter_rows"], batch["filter_cols"], col_valid, topk
+            )
+            return packed, top_scores, top_cols
         return packed
 
     return eval_step

@@ -143,6 +143,16 @@ class Trainer:
 
         self.training_steps = 0
         self.len_train_batches = max(len(self.train_builder), 1)
+        if "mr" in (args.get("model_select_metric") or []):
+            # the reference registers mean-rank as greater-is-better
+            # (utils/metrics.py:58), carried over for parity — selecting on
+            # it therefore prefers the WORST checkpoint
+            logger.warning(
+                "model_select_metric includes 'mr', which is registered "
+                "greater-is-better for reference parity (utils/metrics.py:58): "
+                "model selection will prefer the HIGHEST mean rank. "
+                "Use 'mrr' for sane selection."
+            )
         self.terminate = False
         self.terminate_epochs = args.get("patience_epochs", 50)
         self.best_validation_results = MetricResult()
@@ -179,6 +189,7 @@ class Trainer:
             grad_clip=self.grad_clip,
         )
         self.eval_step = make_eval_step(self.model, self.loss_type, self.label_smoothing)
+        self._eval_step_topk = None  # built lazily when log_predictions is set
 
     @property
     def epoch(self) -> int:
@@ -311,28 +322,74 @@ class Trainer:
         result = MetricResult()
         cand_emb = self._candidate_cache()
         t0 = time.time()
-        pending = []  # (async device stats, normalizer_loss)
+        log_preds = bool(self.args.get("log_predictions"))
+        if log_preds and self._eval_step_topk is None:
+            self._eval_step_topk = make_eval_step(
+                self.model, self.loss_type, self.label_smoothing,
+                topk=int(self.args.get("log_predictions_topk") or 10),
+            )
+        step_fn = self._eval_step_topk if log_preds else self.eval_step
+        pred_file = None
+        if log_preds:
+            pred_file = open(
+                f"{self.save_path}/predictions_step{self.training_steps}.tsv", "w"
+            )
+            pred_file.write("direction\tent_id\trel_id\ttop_entity_ids\ttop_scores\n")
+        pending = []  # (async device stats, normalizer_loss, optional pred payload)
+
+        def drain():
+            for packed, normalizer_loss, preds in pending:
+                stats = unpack_eval_stats(packed)
+                cnt = int(stats["count"])
+                if cnt > 0:
+                    for m in ("mrr", "mr", "h1", "h3", "h10", "h50"):
+                        result[m].update(stats[m] / cnt, cnt)
+                result["loss"].update(stats["loss_sum"] / normalizer_loss, normalizer_loss)
+                if preds is not None:
+                    self._write_predictions(pred_file, *preds)
+            pending.clear()
+
         for batch in self._eval_batches(builder):
             arrays = eval_batch_to_arrays(batch)
             if cand_emb is not None:
-                packed = self.eval_step(self.variables, arrays, cand_emb)
+                out = step_fn(self.variables, arrays, cand_emb)
             else:
-                packed = self.eval_step(self.variables, arrays)
-            # keep dispatch async; fetch after the loop so device work and
-            # host batch prep overlap
-            pending.append((packed, batch.normalizer_loss))
-        for packed, normalizer_loss in pending:
-            stats = unpack_eval_stats(packed)
-            cnt = int(stats["count"])
-            if cnt > 0:
-                for m in ("mrr", "mr", "h1", "h3", "h10", "h50"):
-                    result[m].update(stats[m] / cnt, cnt)
-            result["loss"].update(stats["loss_sum"] / normalizer_loss, normalizer_loss)
+                out = step_fn(self.variables, arrays)
+            if log_preds:
+                packed, top_scores, top_cols = out
+                preds = (batch, top_scores, top_cols)
+            else:
+                packed, preds = out, None
+            # keep dispatch async so device work and host batch prep overlap,
+            # but bound the number of live device buffers (a 59k-batch
+            # OLPBench test pass would otherwise hold 59k tiny arrays)
+            pending.append((packed, batch.normalizer_loss, preds))
+            if len(pending) >= 512:
+                drain()
+        drain()
+        if pred_file is not None:
+            pred_file.close()
+            logger.info("wrote predictions to %s", pred_file.name)
         logger.info(
             "EVALUATING - EPOCH [%3d]  time: %7.3f  METRICS  %s",
             self.epoch, time.time() - t0, result.averages,
         )
         return result
+
+    def _write_predictions(self, f, batch: Batch, top_scores, top_cols) -> None:
+        """One TSV row per real prefix: filtered top-k entity ids + scores."""
+        top_scores = np.asarray(top_scores)
+        top_cols = np.asarray(top_cols)
+        if batch.candidate_ids is not None:
+            ent_of_col = np.asarray(batch.candidate_ids)
+            top_ents = ent_of_col[np.clip(top_cols, 0, len(ent_of_col) - 1)]
+        else:
+            top_ents = top_cols + batch.cand_offset
+        for i in range(batch.num_rows):
+            direction = "sp" if batch.is_sp[i] else "po"
+            ids = " ".join(str(e) for e in top_ents[i])
+            scs = " ".join(f"{s:.4f}" for s in top_scores[i])
+            f.write(f"{direction}\t{batch.ent_ids[i]}\t{batch.rel_ids[i]}\t{ids}\t{scs}\n")
 
     # ------------------------------------------------------ selection logic
 
@@ -398,6 +455,7 @@ class Trainer:
         self.regimes.lr_scheduler_step(
             validation_results[select].avg,
             greater_is_better=validation_results[select].greater_is_better,
+            epoch=self.epoch,
         )
         return one_improved, best_tags
 

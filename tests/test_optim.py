@@ -159,3 +159,47 @@ def test_phase_switch_carries_over_unspecified_hparams():
     hp = regimes.hparams()[0]
     assert hp["lr"] == 0.02
     assert hp["weight_decay"] == 1e-10  # inherited from the earlier phase
+
+
+def test_phase_for_initial_scan_picks_last_triggered_phase():
+    """Resume-without-host-meta: the initial scan must land on the LAST
+    phase whose trigger already passed, not the first."""
+    regimes = OptimizerRegimes(
+        [[
+            {"optimizer": "Adagrad", "lr": 1.0, "epoch": 0},
+            {"lr": 0.5, "epoch": 5},
+            {"lr": 0.25, "epoch": 10},
+        ]]
+    )
+    # simulate resume at epoch 12 with no restored host state
+    regimes.update(12, 1200)
+    assert regimes.current_phase[0] == 2
+    assert regimes.hparams()[0]["lr"] == 0.25
+
+
+def test_epoch_indexed_lr_schedulers():
+    for kind, cfg, expect in (
+        ("StepLR", {"step_size": 2, "gamma": 0.1}, {1: 1.0, 2: 0.1, 5: 0.01}),
+        ("MultiStepLR", {"milestones": [3, 6], "gamma": 0.5}, {2: 1.0, 3: 0.5, 7: 0.25}),
+        ("ExponentialLR", {"gamma": 0.5}, {0: 1.0, 1: 0.5, 3: 0.125}),
+    ):
+        regimes = OptimizerRegimes(
+            {"optimizer": "SGD", "lr": 1.0},
+            lr_scheduler_config={"lr_scheduler": kind, **cfg},
+        )
+        regimes.update(1, 0)
+        for epoch, scale in expect.items():
+            regimes.lr_scheduler_step(0.0, epoch=epoch)
+            assert abs(regimes.hparams()[0]["lr"] - scale) < 1e-12, (kind, epoch)
+
+
+def test_unknown_scheduler_rejected():
+    import pytest
+
+    regimes = OptimizerRegimes(
+        {"optimizer": "SGD", "lr": 1.0},
+        lr_scheduler_config={"lr_scheduler": "CosineAnnealingLR"},
+    )
+    regimes.update(1, 0)
+    with pytest.raises(ValueError):
+        regimes.lr_scheduler_step(0.0, epoch=1)

@@ -168,3 +168,18 @@ def test_kl_loss_trains_via_cli(toy_dataset_dir, tmp_path):
     trainer = main(args)
     rows = [r for r in trainer.results.to_dicts() if r.get("training_loss")]
     assert float(rows[-1]["training_loss"]) < float(rows[0]["training_loss"])
+
+
+def test_log_predictions_writes_topk_dump(toy_dataset_dir, tmp_path):
+    trainer = main(_toy_args(toy_dataset_dir, tmp_path, epochs=3,
+                             log_predictions=True, log_predictions_topk=3))
+    pred_files = [p for p in os.listdir(tmp_path / "exp") if p.startswith("predictions_step")]
+    assert pred_files, "log_predictions should write a per-eval TSV dump"
+    lines = open(tmp_path / "exp" / sorted(pred_files)[-1]).read().strip().split("\n")
+    assert lines[0].startswith("direction\tent_id")
+    assert len(lines) > 1
+    # each row: direction, prefix ids, k entity ids, k scores
+    parts = lines[1].split("\t")
+    assert parts[0] in ("sp", "po")
+    assert len(parts[3].split()) == 3
+    assert len(parts[4].split()) == 3
