@@ -69,6 +69,15 @@ def setup_dataset(args: Dict[str, Any], data_config: Dict[str, Any], is_training
 def main(args: Dict[str, Any]) -> Trainer:
     time_stamp = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
 
+    # multi-host: connect to the JAX distributed runtime before any device
+    # work so jax.devices() is the global list (config keys
+    # coordinator_address / num_processes / process_id, or OKET_* env vars)
+    from open_knowledge_graph_embeddings_tpu.parallel.distributed import (
+        maybe_initialize_distributed,
+    )
+
+    maybe_initialize_distributed(args)
+
     ckpt_meta = None
     if args.get("resume"):
         ckpt_meta = load_checkpoint_meta(args["resume"])

@@ -179,11 +179,12 @@ class BatchBuilder:
         b = self.batch_size
         return n // b if self.drop_last else -(-n // b)
 
-    def batches(self, shuffle: bool = False, prefetch: int = 0) -> Iterator[Batch]:
+    def batches(self, shuffle: bool = False, prefetch: int = 0, transform=None) -> Iterator[Batch]:
         """Iterate batches; ``prefetch > 0`` builds them on a background
         thread (the TPU equivalent of the reference's DataLoader worker
         processes, scripts/train.py:93-103) so host-side construction
-        overlaps device steps."""
+        overlaps device steps.  ``transform`` (Batch -> item) runs on the
+        worker thread too — e.g. the sparse-plan builder."""
         order = np.arange(len(self.rec))
         if shuffle:
             self.rng.shuffle(order)
@@ -194,9 +195,11 @@ class BatchBuilder:
         b = self.batch_size
         limit = (len(order) // b) * b if self.drop_last else len(order)
         starts = range(0, limit, b)
+        if transform is None:
+            transform = lambda batch: batch
         if prefetch <= 0:
             for start in starts:
-                yield self.build(order[start : start + b])
+                yield transform(self.build(order[start : start + b]))
             return
 
         import queue
@@ -210,7 +213,7 @@ class BatchBuilder:
                 for start in starts:
                     if stop.is_set():
                         return
-                    q.put(self.build(order[start : start + b]))
+                    q.put(transform(self.build(order[start : start + b])))
             except BaseException as e:  # surface worker errors to the consumer
                 q.put(e)
             finally:

@@ -79,12 +79,20 @@ def opt_state_shardings(opt_state: Any, variables_sharding: Any, mesh: Mesh) -> 
 
 
 def train_batch_shardings(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
+    data_n = mesh.shape[DATA_AXIS]
+    model_n = mesh.shape[MODEL_AXIS]
+
+    def rows(v):
+        return getattr(v, "shape", ())[:1]
+
     out: Dict[str, Any] = {}
     for k, v in batch.items():
-        if k in ("ent_ids", "rel_ids", "is_sp", "row_valid"):
+        n = rows(v)
+        if k in ("ent_ids", "rel_ids", "is_sp", "row_valid") and n and n[0] % data_n == 0:
             out[k] = _ns(mesh, DATA_AXIS)
-        elif k in ("candidate_ids", "col_valid"):
+        elif k in ("candidate_ids", "col_valid") and n and n[0] % model_n == 0:
             out[k] = _ns(mesh, MODEL_AXIS)
-        else:  # pos_rows/pos_cols (cross-shard scatter), scalars, eval fields
+        else:  # pos_rows/pos_cols (cross-shard scatter), scalars, eval fields,
+            # sparse-plan arrays, and anything not evenly divisible
             out[k] = _ns(mesh)
     return out

@@ -38,6 +38,24 @@ Tokens = Tuple[str, ...]
 # ------------------------------------------------------------- P2: OPIEC
 
 
+def normalize_wiki_entity(links: Sequence[Optional[str]]) -> List[str]:
+    """Anchor-snipped, capitalized, order-preserving unique wiki links
+    (reference: preprocessing/misc.py:25-35)."""
+    seen: Set[str] = set()
+    out: List[str] = []
+    for link in links:
+        if not link:
+            continue
+        link = link.split("#", 1)[0]
+        if not link:
+            continue
+        link = link[0].upper() + link[1:]
+        if link not in seen:
+            out.append(link)
+            seen.add(link)
+    return out
+
+
 def _passes_filters(rec: Dict, min_confidence: float, max_tokens: int) -> bool:
     if float(rec.get("confidence", 1.0)) < min_confidence:
         return False
@@ -59,6 +77,127 @@ def _substitute_quantities(tokens: Sequence[Dict]) -> List[str]:
             word = "QUANT"
         out.append(word)
     return out
+
+
+#: POS tags that disqualify a slot when they tag its LAST token
+#: (reference: preprocessing/process_avro.py:53-66)
+_BAD_LAST_POS_ALWAYS = ("RB", "WDT")
+_BAD_LAST_POS_UNLESS_I = ("DT", "PRP", "PRP$")
+
+
+def _merged_words(slot_tokens: Sequence[Dict], dropped: Sequence[Dict], quantities: Dict) -> List[str]:
+    """Slot words = slot + dropped words sorted by sentence index, with
+    QUANT_x placeholders resolved back to their quantity strings
+    (reference: process_avro.py:31-37)."""
+    merged = sorted(list(slot_tokens) + list(dropped), key=lambda w: w.get("index", 0))
+    out = []
+    for w in merged:
+        word = w["word"]
+        if "QUANT" in word:
+            key = word[6:]
+            if key in quantities:
+                word = quantities[key]
+        out.append(word)
+    return out
+
+
+def extract_opiec_triple(
+    rec: Dict,
+    min_confidence: float = 0.3,
+    max_subject: int = 10,
+    max_relation: int = 10,
+    max_object: int = 10,
+) -> Optional[Dict]:
+    """Full-fidelity extraction of one OPIEC-Clean record
+    (reference: preprocessing/process_avro.py:16-96, 112-195).
+
+    Expects the OPIEC-Clean avro record shape: slot token dicts with
+    word/pos/index, ``dropped_words_*`` lists, ``quantities`` dict,
+    ``confidence_score``, ``polarity``, per-token ``w_link.wiki_link``,
+    ``sentence_linked.tokens``, ``triple_id``/``article_id``.
+
+    Returns None when any reference filter rejects the record, else the
+    normalized dict consumed by the downstream aggregation jobs.
+    """
+    if rec.get("polarity", "POSITIVE") != "POSITIVE":
+        return None
+    if float(rec.get("confidence_score", rec.get("confidence", 1.0))) < min_confidence:
+        return None
+    dropped_s = rec.get("dropped_words_subject", [])
+    dropped_r = rec.get("dropped_words_relation", [])
+    dropped_o = rec.get("dropped_words_object", [])
+    if "PRP$" in [w.get("pos") for w in dropped_s]:
+        return None
+    quantities = rec.get("quantities") or {}
+    if "no" in quantities.values():
+        return None
+
+    subj, relation, obj = rec["subject"], rec["relation"], rec["object"]
+    if not subj or not obj:
+        return None
+    for slot in (subj, obj):
+        last_pos = slot[-1].get("pos")
+        if last_pos in _BAD_LAST_POS_ALWAYS:
+            return None
+        if last_pos in _BAD_LAST_POS_UNLESS_I and slot[-1]["word"] not in ("I",):
+            return None
+
+    subject_word = _merged_words(subj, dropped_s, quantities)
+    relation_word = _merged_words(relation, dropped_r, quantities)
+    object_word = _merged_words(obj, dropped_o, quantities)
+    if relation_word == ["is:impl_appos-clause"]:
+        return None
+    if not subject_word or not object_word:
+        return None
+    if len(subject_word) > max_subject or len(object_word) > max_object:
+        return None
+    if subject_word == object_word:
+        return None
+    if not relation_word or len(relation_word) > max_relation:
+        return None
+
+    s_links = normalize_wiki_entity(
+        [w.get("w_link", {}).get("wiki_link") for w in subj]
+    )
+    o_links = normalize_wiki_entity(
+        [w.get("w_link", {}).get("wiki_link") for w in obj]
+    )
+
+    out = {
+        "subject": subject_word,
+        "relation": relation_word,
+        "object": object_word,
+        # links feed the entity-mention maps only when unambiguous (exactly
+        # one wiki link in the slot; reference: process_avro.py:129-140)
+        "subject_link": s_links[0] if len(s_links) == 1 else None,
+        "object_link": o_links[0] if len(o_links) == 1 else None,
+        "confidence": float(rec.get("confidence_score", rec.get("confidence", 1.0))),
+        "polarity": "POSITIVE",
+        "triple_id": rec.get("triple_id"),
+        "article_id": rec.get("article_id"),
+    }
+    sent = rec.get("sentence_linked", {}).get("tokens")
+    if sent:
+        tag_of = {}
+        for toks, tag in ((relation, "[REL]"), (subj, "[SUBJ]"), (obj, "[OBJ]")):
+            for w in toks:
+                tag_of[w.get("index")] = tag
+        for toks, tag in (
+            (dropped_r, "[REL]"), (dropped_s, "[SUBJ]"), (dropped_o, "[OBJ]")
+        ):
+            for w in toks:
+                tag_of.setdefault(w.get("index"), tag)
+        ordered = sorted(sent, key=lambda w: w.get("index", 0))
+        out["sentence"] = [w["word"] for w in ordered]
+        out["sentence_mask"] = [tag_of.get(w.get("index"), "-") for w in ordered]
+    return out
+
+
+def _is_full_record(rec: Dict) -> bool:
+    if "dropped_words_subject" in rec or "confidence_score" in rec:
+        return True
+    toks = rec.get("subject") or []
+    return bool(toks) and isinstance(toks[0], dict) and "pos" in toks[0]
 
 
 def iter_opiec_triples(
@@ -95,6 +234,16 @@ def iter_opiec_triples(
 
 def _iter_records(records: Iterable[Dict], min_confidence: float, max_tokens: int):
     for rec in records:
+        if _is_full_record(rec):
+            # full OPIEC-Clean record shape: POS filters, dropped-word
+            # merging, QUANT resolution, wiki-link extraction
+            norm = extract_opiec_triple(
+                rec, min_confidence=min_confidence,
+                max_subject=max_tokens, max_relation=max_tokens, max_object=max_tokens,
+            )
+            if norm is not None:
+                yield norm
+            continue
         norm = {
             "subject": _substitute_quantities(rec.get("subject", [])),
             "relation": _substitute_quantities(rec.get("relation", [])),
@@ -106,6 +255,56 @@ def _iter_records(records: Iterable[Dict], min_confidence: float, max_tokens: in
         }
         if _passes_filters(norm, min_confidence, max_tokens):
             yield norm
+
+
+# --------------------------------------------- P2: parallel extraction
+
+
+def _extract_one_file(args) -> Tuple[List[Dict], Dict[str, Counter], Counter]:
+    """Worker: one corpus file -> (records, entity_mention_counts,
+    relation_counter).  Module-level for pickling."""
+    path, min_confidence, max_tokens = args
+    records: List[Dict] = []
+    mentions: Dict[str, Counter] = defaultdict(Counter)
+    relations: Counter = Counter()
+    for rec in iter_opiec_triples([path], min_confidence, max_tokens):
+        records.append(rec)
+        if rec.get("subject_link"):
+            mentions[rec["subject_link"]][tuple(rec["subject"])] += 1
+        if rec.get("object_link"):
+            mentions[rec["object_link"]][tuple(rec["object"])] += 1
+        relations[tuple(rec["relation"])] += 1
+    return records, dict(mentions), relations
+
+
+def extract_corpus_parallel(
+    paths: Sequence[str],
+    workers: int = 1,
+    min_confidence: float = 0.3,
+    max_tokens: int = 10,
+) -> Tuple[List[Dict], Dict[str, Counter], Counter]:
+    """Multiprocess corpus extraction (reference worker pool:
+    preprocessing/process_avro.py:221-288 — queue-fed processes, one corpus
+    file per work item, partial maps merged by the parent).
+
+    Returns (records, entity->mention counts, relation counter)."""
+    work = [(p, min_confidence, max_tokens) for p in paths]
+    if workers <= 1 or len(paths) <= 1:
+        parts = [_extract_one_file(w) for w in work]
+    else:
+        import multiprocessing
+
+        with multiprocessing.Pool(min(workers, len(paths))) as pool:
+            parts = pool.map(_extract_one_file, work)
+    records: List[Dict] = []
+    mentions: Dict[str, Counter] = defaultdict(Counter)
+    relations: Counter = Counter()
+    for recs, ment, rels in parts:
+        records.extend(recs)
+        for link, counts in ment.items():
+            mentions[link].update(counts)
+        relations.update(rels)
+    return records, dict(mentions), relations
 
 
 # --------------------------------------------------------- P3: redirects

@@ -50,12 +50,11 @@ class ExtractTriples(PipelineJob):
         super().__init__([], [_p(opts, "indexes", "raw_triples.pickle")], opts, jobs)
 
     def _run(self):
-        raws = list(
-            corpus_mod.iter_opiec_triples(
-                self.opts["corpus_files"],
-                min_confidence=self.opts.get("min_confidence", 0.3),
-                max_tokens=self.opts.get("max_tokens", 10),
-            )
+        raws, _, _ = corpus_mod.extract_corpus_parallel(
+            self.opts["corpus_files"],
+            workers=int(self.opts.get("workers", 1)),
+            min_confidence=self.opts.get("min_confidence", 0.3),
+            max_tokens=self.opts.get("max_tokens", 10),
         )
         logger.info("extracted %d filtered triples", len(raws))
         _dump(self.provides[0], raws)

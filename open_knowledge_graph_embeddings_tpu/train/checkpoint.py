@@ -67,20 +67,12 @@ def unflatten_into(tree: Any, prefix: str, arrays: Dict[str, np.ndarray]) -> Any
 # -------------------------------------------------------------- save/load
 
 
-def save_checkpoint(
-    directory: str,
-    name: str,
-    variables: Any,
-    opt_state: Any,
-    meta: Dict[str, Any],
+def _write_checkpoint_files(
+    directory: str, name: str, arrays: Dict[str, np.ndarray], meta: Dict[str, Any]
 ) -> str:
     path = os.path.join(directory, name)
     tmp = path + ".tmp"
     os.makedirs(tmp, exist_ok=True)
-    arrays: Dict[str, np.ndarray] = {}
-    arrays.update(flatten_arrays(variables.get("params", {}), "params"))
-    arrays.update(flatten_arrays(variables.get("state", {}), "state"))
-    arrays.update(flatten_arrays(opt_state, "opt"))
     np.savez(os.path.join(tmp, "arrays.npz"), **arrays)
     with open(os.path.join(tmp, "meta.json"), "w") as f:
         json.dump(meta, f, default=str)
@@ -89,6 +81,28 @@ def save_checkpoint(
     os.replace(tmp, path)
     logger.info("saved checkpoint %s", path)
     return path
+
+
+def gather_checkpoint_arrays(variables: Any, opt_state: Any) -> Dict[str, np.ndarray]:
+    """Device->host fetch of everything a checkpoint stores (the only
+    synchronous part of an async save)."""
+    arrays: Dict[str, np.ndarray] = {}
+    arrays.update(flatten_arrays(variables.get("params", {}), "params"))
+    arrays.update(flatten_arrays(variables.get("state", {}), "state"))
+    arrays.update(flatten_arrays(opt_state, "opt"))
+    return arrays
+
+
+def save_checkpoint(
+    directory: str,
+    name: str,
+    variables: Any,
+    opt_state: Any,
+    meta: Dict[str, Any],
+) -> str:
+    return _write_checkpoint_files(
+        directory, name, gather_checkpoint_arrays(variables, opt_state), meta
+    )
 
 
 def load_checkpoint_meta(path: str) -> Dict[str, Any]:
@@ -141,18 +155,33 @@ def load_checkpoint(
 
 
 class CheckpointManager:
-    """Rotation + best-model tagging (reference: openkge/trainer.py:608-638)."""
+    """Rotation + best-model tagging (reference: openkge/trainer.py:608-638).
 
-    def __init__(self, save_path: str, keep_checkpoints: int = 5):
+    ``async_write=True`` (default) performs the file write, rotation and
+    best-copies on a background thread: the training loop only pays for the
+    device->host fetch, not the (much larger) serialization + disk IO.  At
+    most one write is in flight; a new save joins the previous one first, so
+    rotation order is preserved.  Call :meth:`wait` before reading a
+    just-saved checkpoint.
+    """
+
+    def __init__(self, save_path: str, keep_checkpoints: int = 5, async_write: bool = True):
         self.save_path = save_path
         self.keep = keep_checkpoints
+        self.async_write = async_write
         self._counter = 0
+        self._pending = None
         os.makedirs(save_path, exist_ok=True)
 
     def next_name(self) -> str:
         name = f"checkpoint{self._counter}"
         self._counter = (self._counter + 1) % self.keep
         return name
+
+    def wait(self) -> None:
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
 
     def save(
         self,
@@ -164,21 +193,38 @@ class CheckpointManager:
         save_all: bool = False,
     ) -> str:
         name = self.next_name()
-        path = save_checkpoint(self.save_path, name, variables, opt_state, meta)
-        if is_best:
-            for tag in tags or ["best"]:
-                best = os.path.join(self.save_path, f"model_best-{tag}")
-                if os.path.exists(best):
-                    prev = os.path.join(self.save_path, f"model_best-{tag}-{name}")
-                    if os.path.exists(prev):
-                        shutil.rmtree(prev)
-                    shutil.move(best, prev)
-                shutil.copytree(path, best)
-        if save_all:
-            epoch_path = os.path.join(self.save_path, f"checkpoint_epoch_{meta.get('epoch')}")
-            if os.path.exists(epoch_path):
-                shutil.rmtree(epoch_path)
-            shutil.copytree(path, epoch_path)
+        path = os.path.join(self.save_path, name)
+        # synchronous part: fetch to host (the arrays must be snapshotted
+        # before the next donated train step invalidates the device buffers)
+        arrays = gather_checkpoint_arrays(variables, opt_state)
+
+        def job():
+            _write_checkpoint_files(self.save_path, name, arrays, meta)
+            if is_best:
+                for tag in tags or ["best"]:
+                    best = os.path.join(self.save_path, f"model_best-{tag}")
+                    if os.path.exists(best):
+                        prev = os.path.join(self.save_path, f"model_best-{tag}-{name}")
+                        if os.path.exists(prev):
+                            shutil.rmtree(prev)
+                        shutil.move(best, prev)
+                    shutil.copytree(path, best)
+            if save_all:
+                epoch_path = os.path.join(
+                    self.save_path, f"checkpoint_epoch_{meta.get('epoch')}"
+                )
+                if os.path.exists(epoch_path):
+                    shutil.rmtree(epoch_path)
+                shutil.copytree(path, epoch_path)
+
+        self.wait()
+        if self.async_write:
+            import threading
+
+            self._pending = threading.Thread(target=job, daemon=True)
+            self._pending.start()
+        else:
+            job()
         return path
 
 

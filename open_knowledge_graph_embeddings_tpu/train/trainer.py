@@ -89,12 +89,23 @@ class Trainer:
         )
 
         # device mesh: shard tables/candidates over `model`, rows over `data`
-        # (config keys use_mesh / model_parallel; single device -> no mesh)
+        # (config keys use_mesh / model_parallel; single device -> no mesh).
+        # In multi-process runs jax.devices() is the GLOBAL device list, so
+        # the mesh spans hosts and XLA routes collectives over ICI/DCN.
         if mesh is None and args.get("use_mesh", True) and len(jax.devices()) > 1:
             from open_knowledge_graph_embeddings_tpu.parallel import default_mesh
 
             mesh = default_mesh(model_parallel=int(args.get("model_parallel") or 1))
         self.mesh = mesh
+        self.process_count = jax.process_count()
+        self.process_index = jax.process_index()
+        if self.process_count > 1:
+            assert self.mesh is not None, "multi-process runs need a device mesh"
+            logger.info(
+                "multi-host: process %d/%d, %d local of %d global devices",
+                self.process_index, self.process_count,
+                len(jax.local_devices()), len(jax.devices()),
+            )
         if self.mesh is not None:
             from open_knowledge_graph_embeddings_tpu.parallel import variables_shardings
 
@@ -116,6 +127,34 @@ class Trainer:
             frozen_patterns=frozen,
         )
         self.regimes.update(1, 0)
+
+        # row-sparse table updates (embedder config `sparse: true`;
+        # reference: openkge/model.py:390-391 sparse=True embedding grads)
+        self.sparse = bool(getattr(model.embedder, "sparse", False))
+        self._sparse_plan = None
+        if self.sparse:
+            from open_knowledge_graph_embeddings_tpu.train.sparse import (
+                SparsePlanBuilder,
+                sparse_table_names,
+            )
+
+            entity_sparse = bool(train_dataset.use_batch_shared_entities)
+            bsz = train_dataset.batch_size
+            bsfb = args.get("batch_size_for_backward") or train_dataset.batch_size_for_backward
+            if max(1, int(round((bsfb or bsz) / bsz))) > 1:
+                logger.warning(
+                    "sparse updates don't compose with gradient accumulation; using dense path"
+                )
+                self.sparse = False
+            elif not sparse_table_names(model.embedder, entity_sparse):
+                logger.warning("sparse=true has no sparse-capable tables; using dense path")
+                self.sparse = False
+            else:
+                self._sparse_plan = SparsePlanBuilder(model.embedder, entity_sparse)
+                logger.info(
+                    "row-sparse updates for tables %s (entity_sparse=%s)",
+                    self._sparse_plan.tables, entity_sparse,
+                )
         self.opt_state = self.regimes.init_state(self.variables["params"])
         if self.mesh is not None:
             from open_knowledge_graph_embeddings_tpu.parallel import (
@@ -172,14 +211,29 @@ class Trainer:
     # ------------------------------------------------------------------ setup
 
     def _rebuild_steps(self):
-        self.train_step = make_train_step(
-            self.model,
-            self.regimes,
-            self.variables["params"],
-            loss_type=self.loss_type,
-            label_smoothing=self.label_smoothing,
-            grad_clip=self.grad_clip,
-        )
+        if self.sparse:
+            from open_knowledge_graph_embeddings_tpu.train.sparse import (
+                make_sparse_train_step,
+            )
+
+            self.train_step = make_sparse_train_step(
+                self.model,
+                self.regimes,
+                self.variables["params"],
+                entity_sparse=self._sparse_plan.entity_sparse,
+                loss_type=self.loss_type,
+                label_smoothing=self.label_smoothing,
+                grad_clip=self.grad_clip,
+            )
+        else:
+            self.train_step = make_train_step(
+                self.model,
+                self.regimes,
+                self.variables["params"],
+                loss_type=self.loss_type,
+                label_smoothing=self.label_smoothing,
+                grad_clip=self.grad_clip,
+            )
         self.zero_grads, self.grad_step, self.apply_step = make_accum_steps(
             self.model,
             self.regimes,
@@ -194,6 +248,18 @@ class Trainer:
     @property
     def epoch(self) -> int:
         return math.floor(self.training_steps / (self.len_train_batches + 1)) + 1
+
+    def _put_batch(self, arrays):
+        """Place a host-built batch onto the mesh's sharding plan (rows over
+        ``data``, candidates over ``model``).  Without this XLA reshards the
+        default placement every step.  In multi-process runs every host built
+        the identical global batch and materializes only its local shards."""
+        if self.mesh is None:
+            return arrays
+        from open_knowledge_graph_embeddings_tpu.parallel import train_batch_shardings
+        from open_knowledge_graph_embeddings_tpu.parallel.distributed import put_global_batch
+
+        return put_global_batch(arrays, train_batch_shardings(arrays, self.mesh))
 
     def _hp(self):
         return [{k: jnp.float32(v) for k, v in h.items()} for h in self.regimes.hparams()]
@@ -232,7 +298,13 @@ class Trainer:
                 items_meter_n += float(n_pos)
             pending.clear()
 
-        for step_i, batch in enumerate(self.train_builder.batches(shuffle=True, prefetch=2)):
+        # batch -> jit-ready arrays runs on the prefetch thread (the sparse
+        # plan does a unique+remap pass there)
+        to_arrays = self._sparse_plan if self.sparse else train_batch_to_arrays
+        transform = lambda b: (b, self._put_batch(to_arrays(b)))
+        for step_i, (batch, arrays) in enumerate(
+            self.train_builder.batches(shuffle=True, prefetch=2, transform=transform)
+        ):
             if profile_steps and self.training_steps == 1:
                 jax.profiler.start_trace(f"{self.save_path}/profile")
                 self._profiling_until = self.training_steps + profile_steps
@@ -250,13 +322,13 @@ class Trainer:
             self.rng_key, sub = jax.random.split(self.rng_key)
             if self.accum_steps <= 1:
                 self.variables, self.opt_state, stats = self.train_step(
-                    self.variables, self.opt_state, self._hp(), train_batch_to_arrays(batch), sub
+                    self.variables, self.opt_state, self._hp(), arrays, sub
                 )
             else:
                 if self._acc_grads is None:
                     self._acc_grads = self.zero_grads()
                 self.variables, self._acc_grads, stats = self.grad_step(
-                    self.variables, self._acc_grads, train_batch_to_arrays(batch), sub
+                    self.variables, self._acc_grads, arrays, sub
                 )
                 self._accum_i += 1
                 if self._accum_i == self.accum_steps:
@@ -284,7 +356,7 @@ class Trainer:
                 )
             if save_freq > 0 and step_i > 0 and step_i % save_freq == 0:
                 drain_pending()
-                self.save()
+                self.save(wait=False)
             if val_hook is not None and eval_freq > 0 and step_i > 0 and step_i % eval_freq == 0:
                 drain_pending()
                 val_hook(last_step_of_epoch=False)
@@ -300,7 +372,7 @@ class Trainer:
         if ds is None or ds.use_batch_shared_entities:
             return None
         if isinstance(self.model.embedder, TokenEmbedderBase):
-            all_emb = self.model.encode_all_entities(self.variables)
+            all_emb = self.model.encode_all_entities(self.variables, mesh=self.mesh)
             return all_emb[self.model.meta.min_entities_size :]
         return None
 
@@ -350,7 +422,7 @@ class Trainer:
             pending.clear()
 
         for batch in self._eval_batches(builder):
-            arrays = eval_batch_to_arrays(batch)
+            arrays = self._put_batch(eval_batch_to_arrays(batch))
             if cand_emb is not None:
                 out = step_fn(self.variables, arrays, cand_emb)
             else:
@@ -477,7 +549,10 @@ class Trainer:
             }
             improved, tags = self._check_early_stopping(validation_results, row)
             if last_step_of_epoch and save_epoch_freq and self.epoch % save_epoch_freq == 0:
-                self.save(save_all=True, is_best=improved, tags=tags if improved else None)
+                self.save(
+                    save_all=True, is_best=improved, tags=tags if improved else None,
+                    wait=False,
+                )
             self.results.add(**row)
             self.results.save()
 
@@ -497,10 +572,14 @@ class Trainer:
         # always leave a resumable checkpoint at the end of a run
         if self.training_steps > 0:
             self.save()
+        self.ckpt.wait()
 
     # ---------------------------------------------------------- persistence
 
-    def save(self, is_best=False, tags=None, save_all=False):
+    def save(self, is_best=False, tags=None, save_all=False, wait=True):
+        """Checkpoint now.  ``wait=False`` (used by the in-loop save sites)
+        returns as soon as the device->host fetch is done and lets the file
+        write, rotation and best-copies run on a background thread."""
         meta = {
             "epoch": self.epoch,
             "training_steps": self.training_steps,
@@ -508,9 +587,27 @@ class Trainer:
             "optimizer_host_state": self.regimes.host_state(),
             "results": self.results.to_dicts(),
         }
-        return self.ckpt.save(
-            self.variables, self.opt_state, meta, is_best=is_best, tags=tags, save_all=save_all
+        variables, opt_state = self.variables, self.opt_state
+        if self.process_count > 1:
+            # replicate across the mesh (collective — every process calls
+            # save() in lockstep), then only rank 0 touches the filesystem
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(self.mesh, PartitionSpec())
+            small = {"params": variables["params"], "state": variables["state"]}
+            rep_tree = jax.tree_util.tree_map(lambda _: rep, (small, opt_state))
+            small, opt_state = jax.jit(lambda t: t, out_shardings=rep_tree)(
+                (small, opt_state)
+            )
+            variables = {**small, "buffers": {}}
+            if self.process_index != 0:
+                return None
+        path = self.ckpt.save(
+            variables, opt_state, meta, is_best=is_best, tags=tags, save_all=save_all
         )
+        if wait:
+            self.ckpt.wait()
+        return path
 
     def load(
         self,
@@ -523,6 +620,7 @@ class Trainer:
     ):
         from open_knowledge_graph_embeddings_tpu.train.checkpoint import load_checkpoint_meta
 
+        self.ckpt.wait()  # a just-scheduled async write may target this path
         # restore the optimizer phase first: a restored phase may use a
         # different optimizer type than phase 0, which changes the shape of
         # the optimizer state and the compiled update rule
@@ -543,6 +641,19 @@ class Trainer:
             weight_map=weight_map,
             load_optimizer=not (reset_optimizer or dont_load_optimizer),
         )
+        if self.mesh is not None:
+            # restored leaves arrive with default placement; re-place them on
+            # the sharding plan so the first step doesn't reshard everything
+            from open_knowledge_graph_embeddings_tpu.parallel import (
+                opt_state_shardings,
+                variables_shardings,
+            )
+
+            var_sh = variables_shardings(self.variables, self.mesh)
+            self.variables = jax.device_put(self.variables, var_sh)
+            self.opt_state = jax.device_put(
+                self.opt_state, opt_state_shardings(self.opt_state, var_sh, self.mesh)
+            )
         self.training_steps = int(meta.get("training_steps", 0))
         # restore the per-eval results history (reference: openkge/trainer.py:591-593)
         prior_rows = meta.get("results")

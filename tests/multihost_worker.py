@@ -1,0 +1,73 @@
+"""Subprocess worker for the multi-host parity test.
+
+Usage: python multihost_worker.py DATASET_DIR EXP_DIR NPROC PID PORT [batch_shared]
+
+Runs the CLI training entry point on a 4x2 (data x model) mesh built from
+8 virtual CPU devices.  With NPROC=2 each process contributes 4 devices and
+connects via jax.distributed (exercising the OKET_* env wiring of
+cli/train.py); with NPROC=1 a single process owns all 8.  Both must produce
+identical training results (tests/test_multihost.py asserts it).
+"""
+
+import os
+import sys
+
+dataset_dir, exp_dir, nproc, pid, port = sys.argv[1:6]
+batch_shared = len(sys.argv) > 6 and sys.argv[6] == "batch_shared"
+nproc, pid = int(nproc), int(pid)
+
+local_devices = 8 // nproc
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local_devices}"
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+if nproc > 1:
+    os.environ["OKET_COORDINATOR"] = f"localhost:{port}"
+    os.environ["OKET_NUM_PROCESSES"] = str(nproc)
+    os.environ["OKET_PROCESS_ID"] = str(pid)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from open_knowledge_graph_embeddings_tpu.cli.train import main  # noqa: E402
+from open_knowledge_graph_embeddings_tpu.config.options import load_config  # noqa: E402
+
+if batch_shared:
+    train_cfg = {"input_file": "train.txt", "batch_size": 4,
+                 "use_batch_shared_entities": True, "min_size_batch_labels": 6}
+else:
+    train_cfg = {"input_file": "train.txt", "batch_size": 4,
+                 "use_batch_shared_entities": False}
+
+args = load_config()
+args.update(
+    dataset_dir=dataset_dir,
+    experiment_dir=exp_dir,
+    seed=7,
+    epochs=4,
+    batch_size=4,
+    eval_epoch_freq=2,
+    eval_freq=-1,
+    save_epoch_freq=-1,
+    print_freq=1,
+    use_mesh=True,
+    model_parallel=2,
+    model="LookupComplexRelationModel",
+    model_config={"entity_slot_size": 8, "init_std": 0.1},
+    optimization_config={"optimizer": "Adagrad", "epoch": 0, "lr": 0.3,
+                         "weight_decay": 1e-10},
+    train_data_config=train_cfg,
+    val_data_config={"input_file": "valid.txt", "batch_size": 4,
+                     "use_batch_shared_entities": False},
+    test_data_config={"input_file": "test.txt", "batch_size": 4,
+                      "use_batch_shared_entities": False},
+)
+trainer = main(args)
+assert trainer.mesh is not None and dict(trainer.mesh.shape) == {"data": 4, "model": 2}, (
+    trainer.mesh
+)
+if nproc > 1:
+    assert trainer.process_count == nproc
+print(f"WORKER_OK pid={pid} steps={trainer.training_steps}")

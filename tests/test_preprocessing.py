@@ -313,3 +313,129 @@ def test_convert_closed_dataset(tmp_path):
     assert len(rec) == 4  # 2 triples x 2 directions, all prefixes distinct
     # cols 4/5 duplicated: each answer group is a single mention == the entity
     assert all(len(g) == 1 for i in range(len(rec)) for g in rec.row_groups(i))
+
+
+# -------------------------------------------- full OPIEC-Clean record shape
+
+
+def _opiec_record(**over):
+    """Synthetic OPIEC-Clean avro-shaped record (the contract the reference
+    consumes; process_avro.py:16-195): token dicts with word/pos/index,
+    dropped_words_* lists, quantities, w_link.wiki_link, sentence_linked."""
+
+    def tok(word, pos, index, link=None):
+        return {"word": word, "pos": pos, "index": index,
+                "w_link": {"wiki_link": link or ""}}
+
+    rec = {
+        "polarity": "POSITIVE",
+        "confidence_score": 0.9,
+        "triple_id": 1,
+        "article_id": 10,
+        "quantities": {},
+        "subject": [tok("Barack", "NNP", 1, "barack_obama"),
+                    tok("Obama", "NNP", 2, "barack_obama")],
+        "dropped_words_subject": [],
+        "relation": [tok("lives", "VBZ", 3), tok("in", "IN", 4)],
+        "dropped_words_relation": [],
+        "object": [tok("Washington", "NNP", 5, "washington,_d.c.")],
+        "dropped_words_object": [],
+        "sentence_linked": {"tokens": [
+            tok("Barack", "NNP", 1), tok("Obama", "NNP", 2), tok("lives", "VBZ", 3),
+            tok("in", "IN", 4), tok("Washington", "NNP", 5), tok(".", ".", 6),
+        ]},
+    }
+    rec.update(over)
+    return rec
+
+
+def test_opiec_full_record_extraction():
+    from open_knowledge_graph_embeddings_tpu.preprocessing.corpus import extract_opiec_triple
+
+    out = extract_opiec_triple(_opiec_record())
+    assert out["subject"] == ["Barack", "Obama"]
+    assert out["relation"] == ["lives", "in"]
+    assert out["object"] == ["Washington"]
+    # links are anchor-snipped + capitalized, unambiguous only
+    assert out["subject_link"] == "Barack_obama"
+    assert out["object_link"] == "Washington,_d.c."
+    assert out["sentence_mask"] == ["[SUBJ]", "[SUBJ]", "[REL]", "[REL]", "[OBJ]", "-"]
+
+
+def test_opiec_full_record_pos_filters():
+    from open_knowledge_graph_embeddings_tpu.preprocessing.corpus import extract_opiec_triple
+
+    def tok(word, pos, index):
+        return {"word": word, "pos": pos, "index": index, "w_link": {"wiki_link": ""}}
+
+    # last subject token DT -> dropped (unless the word is 'I')
+    rec = _opiec_record(subject=[tok("the", "DT", 1)])
+    assert extract_opiec_triple(rec) is None
+    rec = _opiec_record(subject=[tok("I", "PRP", 1)])
+    assert extract_opiec_triple(rec) is not None
+    # last object token RB -> dropped
+    rec = _opiec_record(object=[tok("quickly", "RB", 5)])
+    assert extract_opiec_triple(rec) is None
+    # PRP$ among dropped subject words -> dropped
+    rec = _opiec_record(dropped_words_subject=[tok("his", "PRP$", 0)])
+    assert extract_opiec_triple(rec) is None
+    # low confidence -> dropped
+    assert extract_opiec_triple(_opiec_record(confidence_score=0.2)) is None
+    # negative polarity -> dropped
+    assert extract_opiec_triple(_opiec_record(polarity="NEGATIVE")) is None
+
+
+def test_opiec_full_record_quant_and_dropped_words():
+    from open_knowledge_graph_embeddings_tpu.preprocessing.corpus import extract_opiec_triple
+
+    def tok(word, pos, index):
+        return {"word": word, "pos": pos, "index": index, "w_link": {"wiki_link": ""}}
+
+    # QUANT_x placeholders resolve back through the quantities dict, and
+    # dropped words are merged in sentence order
+    rec = _opiec_record(
+        subject=[tok("QUANT_a", "CD", 2), tok("cats", "NNS", 3)],
+        dropped_words_subject=[tok("exactly", "RB", 1)],
+        quantities={"a": "5"},
+    )
+    out = extract_opiec_triple(rec)
+    assert out["subject"] == ["exactly", "5", "cats"]
+    # a 'no' quantity kills the record
+    rec = _opiec_record(quantities={"a": "no"})
+    assert extract_opiec_triple(rec) is None
+    # self-loop (subject words == object words) dropped
+    rec = _opiec_record(object=[tok("Barack", "NNP", 1), tok("Obama", "NNP", 2)])
+    assert extract_opiec_triple(rec) is None
+    # the implicit-appositive marker relation is dropped at extraction
+    rec = _opiec_record(relation=[tok("is:impl_appos-clause", "VBZ", 3)])
+    assert extract_opiec_triple(rec) is None
+
+
+def test_opiec_full_records_via_jsonl_reader(tmp_path):
+    import json
+
+    p = tmp_path / "full.jsonl"
+    p.write_text(json.dumps(_opiec_record()) + "\n")
+    got = list(iter_opiec_triples([str(p)]))
+    assert len(got) == 1 and got[0]["subject"] == ["Barack", "Obama"]
+
+
+def test_extract_corpus_parallel(tmp_path):
+    import json
+
+    from open_knowledge_graph_embeddings_tpu.preprocessing.corpus import (
+        extract_corpus_parallel,
+    )
+
+    files = []
+    for i in range(3):
+        p = tmp_path / f"part{i}.jsonl"
+        p.write_text(json.dumps(_opiec_record(triple_id=i)) + "\n")
+        files.append(str(p))
+    records, mentions, relations = extract_corpus_parallel(files, workers=3)
+    assert len(records) == 3
+    assert mentions["Barack_obama"][("Barack", "Obama")] == 3
+    assert relations[("lives", "in")] == 3
+    # single-worker path produces identical aggregates
+    r1, m1, c1 = extract_corpus_parallel(files, workers=1)
+    assert len(r1) == 3 and m1 == mentions and c1 == relations

@@ -1,0 +1,176 @@
+"""Row-sparse training path: step-for-step equality with the dense path.
+
+The sparse path (train/sparse.py) must produce exactly the same parameters
+and loss as the dense step when weight_decay == 0 (and, for touched rows,
+when weight_decay > 0 — lazy decay is the documented deviation for
+untouched rows).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from open_knowledge_graph_embeddings_tpu.data.batching import Batch
+from open_knowledge_graph_embeddings_tpu.models.model import build_model
+from open_knowledge_graph_embeddings_tpu.train.optim import OptimizerRegimes
+from open_knowledge_graph_embeddings_tpu.train.sparse import (
+    SparsePlanBuilder,
+    make_sparse_train_step,
+    sparse_table_names,
+)
+from open_knowledge_graph_embeddings_tpu.train.step import (
+    make_train_step,
+    train_batch_to_arrays,
+)
+
+from __graft_entry__ import _synthetic_meta
+
+
+def _mk_batch(meta, rng, B=16, N=32, batch_shared=True):
+    ent = rng.integers(2, meta.entities_size, B).astype(np.int32)
+    rel = rng.integers(2, meta.relations_size, B).astype(np.int32)
+    is_sp = (np.arange(B) % 2 == 0)
+    if batch_shared:
+        cand = rng.choice(
+            np.arange(2, meta.entities_size, dtype=np.int32), N, replace=False
+        )
+        col_valid = np.ones(N, bool)
+    else:
+        cand, col_valid = None, None
+        N = meta.entities_size - meta.min_entities_size
+    P = 32
+    pos_rows = np.full(P, -1, np.int32)
+    pos_cols = np.full(P, -1, np.int32)
+    pos_rows[:B] = np.arange(B)
+    pos_cols[:B] = rng.integers(0, min(N, 16), B)
+    return Batch(
+        ent_ids=ent, rel_ids=rel, is_sp=is_sp, row_valid=np.ones(B, bool), num_rows=B,
+        candidate_ids=cand, col_valid=col_valid, num_cols=N,
+        cand_offset=meta.min_entities_size,
+        pos_rows=pos_rows, pos_cols=pos_cols, normalizer_loss=float(B * N),
+    )
+
+
+def _run_steps(model, variables, batches, step, plan, n=3, hp_over=None):
+    regimes = OptimizerRegimes(
+        {"optimizer": "Adagrad", "lr": 0.2, "weight_decay": hp_over or 0.0}
+    )
+    regimes.update(1, 0)
+    opt_state = regimes.init_state(variables["params"])
+    hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
+    for i, b in enumerate(batches[:n]):
+        variables, opt_state, stats = step(
+            variables, opt_state, hp, plan(b), jax.random.key(100 + i)
+        )
+    return variables, float(stats["loss_sum"])
+
+
+@pytest.mark.parametrize("model_name,batch_shared", [
+    ("LookupComplexRelationModel", True),
+    ("LookupComplexRelationModel", False),  # relation table only
+    ("LSTMComplexRelationModel", True),
+    ("UnigramPoolingComplexRelationModel", True),
+])
+def test_sparse_matches_dense(model_name, batch_shared):
+    rng = np.random.default_rng(0)
+    meta = _synthetic_meta(entities=64, relations=16, ent_tokens=48, rel_tokens=24, max_len=6)
+    cfg = dict(entity_slot_size=16, init_std=0.1, dropout=0.0)
+    model = build_model(model_name, meta, **cfg)
+    variables = model.init(jax.random.key(0))
+    regimes = OptimizerRegimes({"optimizer": "Adagrad", "lr": 0.2})
+    regimes.update(1, 0)
+
+    batches = [_mk_batch(meta, rng, batch_shared=batch_shared) for _ in range(3)]
+
+    dense_step = make_train_step(model, regimes, variables["params"])
+    v_dense, loss_dense = _run_steps(
+        model, jax.tree_util.tree_map(jnp.copy, variables), batches,
+        dense_step, train_batch_to_arrays,
+    )
+
+    plan = SparsePlanBuilder(model.embedder, entity_sparse=batch_shared)
+    sparse_step = make_sparse_train_step(
+        model, regimes, variables["params"], entity_sparse=batch_shared
+    )
+    v_sparse, loss_sparse = _run_steps(
+        model, jax.tree_util.tree_map(jnp.copy, variables), batches, sparse_step, plan
+    )
+
+    assert abs(loss_dense - loss_sparse) < 1e-3 * max(1.0, abs(loss_dense))
+    flat_d = jax.tree_util.tree_flatten_with_path(v_dense["params"])[0]
+    flat_s = dict(jax.tree_util.tree_flatten_with_path(v_sparse["params"])[0])
+    for kp, leaf in flat_d:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_s[kp]), rtol=2e-5, atol=2e-6,
+            err_msg=str(kp),
+        )
+
+
+def test_sparse_lazy_weight_decay_touched_rows_match_dense():
+    """With wd > 0 the touched rows must still match the dense update; only
+    untouched rows deviate (lazy decay)."""
+    rng = np.random.default_rng(1)
+    meta = _synthetic_meta(entities=64, relations=16, ent_tokens=48, rel_tokens=24, max_len=6)
+    model = build_model("LookupComplexRelationModel", meta, entity_slot_size=16,
+                        init_std=0.1, dropout=0.0)
+    variables = model.init(jax.random.key(0))
+    regimes = OptimizerRegimes({"optimizer": "Adagrad", "lr": 0.2, "weight_decay": 0.01})
+    regimes.update(1, 0)
+    batch = _mk_batch(meta, rng)
+
+    dense_step = make_train_step(model, regimes, variables["params"])
+    v_d, _ = _run_steps(model, jax.tree_util.tree_map(jnp.copy, variables), [batch],
+                        dense_step, train_batch_to_arrays, n=1, hp_over=0.01)
+    plan = SparsePlanBuilder(model.embedder, entity_sparse=True)
+    sparse_step = make_sparse_train_step(model, regimes, variables["params"], entity_sparse=True)
+    v_s, _ = _run_steps(model, jax.tree_util.tree_map(jnp.copy, variables), [batch],
+                        sparse_step, plan, n=1, hp_over=0.01)
+
+    touched = np.unique(np.concatenate([batch.ent_ids, batch.candidate_ids]))
+    d_tab = np.asarray(v_d["params"]["entity_embedding"])
+    s_tab = np.asarray(v_s["params"]["entity_embedding"])
+    np.testing.assert_allclose(d_tab[touched], s_tab[touched], rtol=2e-5, atol=2e-6)
+    # untouched rows: dense decays them, sparse leaves them — they must differ
+    untouched = np.setdiff1d(np.arange(meta.entities_size), touched)
+    if len(untouched):
+        assert not np.allclose(d_tab[untouched], s_tab[untouched])
+        orig = np.asarray(variables["params"]["entity_embedding"])
+        np.testing.assert_allclose(s_tab[untouched], orig[untouched])
+
+
+def test_sparse_rejects_unsupported_optimizer():
+    meta = _synthetic_meta(entities=32, relations=8, ent_tokens=24, rel_tokens=16, max_len=6)
+    model = build_model("LookupComplexRelationModel", meta, entity_slot_size=8)
+    variables = model.init(jax.random.key(0))
+    regimes = OptimizerRegimes({"optimizer": "Adam", "lr": 1e-3})
+    regimes.update(1, 0)
+    with pytest.raises(ValueError, match="sparse"):
+        make_sparse_train_step(model, regimes, variables["params"], entity_sparse=True)
+
+
+def test_sparse_table_names_full_vocab_excludes_entity_tables():
+    meta = _synthetic_meta(entities=32, relations=8, ent_tokens=24, rel_tokens=16, max_len=6)
+    model = build_model("LookupComplexRelationModel", meta, entity_slot_size=8)
+    assert sparse_table_names(model.embedder, entity_sparse=False) == ("relation_embedding",)
+    assert sparse_table_names(model.embedder, entity_sparse=True) == (
+        "entity_embedding", "relation_embedding",
+    )
+
+
+def test_sparse_cli_trains_and_learns(toy_dataset_dir, tmp_path):
+    from tests.test_trainer import _toy_args
+    from open_knowledge_graph_embeddings_tpu.cli.train import main
+
+    args = _toy_args(
+        toy_dataset_dir, tmp_path, epochs=10,
+        model_config={"entity_slot_size": 8, "init_std": 0.1, "sparse": True},
+        train_data_config={"input_file": "train.txt", "batch_size": 4,
+                           "use_batch_shared_entities": True, "min_size_batch_labels": 6},
+    )
+    trainer = main(args)
+    assert trainer.sparse, "sparse path should be active"
+    rows = trainer.results.to_dicts()
+    losses = [r["training_loss"] for r in rows if "training_loss" in r]
+    assert losses[-1] < losses[0], "sparse path must learn"
