@@ -1,19 +1,27 @@
-"""Benchmark: training throughput of the OLPBench flagship configuration.
+"""Benchmark: training throughput + roofline accounting on one TPU chip.
 
-Measures steady-state jitted train-step throughput of LSTM-ComplEx
-(d=512, batch 4096 prefix rows, batch-shared 4096 candidates — the
-ACL2020 headline config, reference config/acl2020-openlink/
-wikiopenlink-thorough-complex-lstm.yaml) on one TPU chip, and prints ONE
-JSON line::
+Default invocation (the driver contract) prints ONE JSON line for the
+OLPBench flagship configuration (LSTM-ComplEx, d=512, batch 4096 prefix
+rows, 4096 batch-shared candidates — reference config/acl2020-openlink/
+wikiopenlink-thorough-complex-lstm.yaml)::
 
-    {"metric": ..., "value": N, "unit": "items/s", "vs_baseline": R}
+    {"metric": ..., "value": N, "unit": "items/s", "vs_baseline": R, ...}
 
 ``items/s`` is the positives-normalized throughput the reference logs per
-step (reference: openkge/trainer.py:308).  ``vs_baseline`` compares
-against a torch-CPU implementation of the reference's computation pattern
-(4-term chunked ComplEx matmuls + torch LSTM), measured once on this host
-and cached in BENCH_BASELINE.json — the only baseline available, since
-the reference repo publishes no numbers (see BASELINE.md).
+step (reference: openkge/trainer.py:308).  ``vs_baseline`` compares against
+a torch-CPU implementation of the reference's computation pattern (cached in
+BENCH_BASELINE.json — the only executable baseline, since the reference
+repo publishes no numbers; see BASELINE.md).  Extra keys report the roofline
+position: step_ms, modeled TFLOPs, MFU vs the chip's bf16 peak.
+
+``python bench.py --report`` additionally measures:
+
+* per-segment breakdown (forward / forward+backward / optimizer-only),
+* the row-sparse update path (model_config sparse: true),
+* full-vocab 1-vs-N lookup training (the FB15k-237-style path),
+* full-vocab evaluation throughput with the candidate cache,
+* host batch-construction throughput vs device step time (is the input
+  pipeline fast enough to feed the chip?).
 """
 
 from __future__ import annotations
@@ -28,8 +36,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 # OLPBench-shaped workload (entity vocab scaled 2.47M -> 500k to fit the
-# single v5e-lite chip alongside Adagrad state; per-step compute is
-# candidate-bound, not vocab-bound, so items/s is representative)
+# single chip alongside Adagrad state; per-step compute is candidate-bound,
+# not vocab-bound, so items/s is representative)
 ENTITIES = 500_000
 RELATIONS = 50_000
 ENT_TOKENS = 200_000
@@ -40,6 +48,39 @@ CANDS = 4096
 MAX_LEN = 10
 WARMUP = 3
 ITERS = 20
+
+#: (bf16 peak TFLOP/s, HBM GB/s) per chip generation
+CHIP_PEAKS = {
+    "v4": (275.0, 1228.0),
+    "v5 lite": (197.0, 819.0),
+    "v5e": (197.0, 819.0),
+    "v5p": (459.0, 2765.0),
+    "v6 lite": (918.0, 1640.0),
+    "v6e": (918.0, 1640.0),
+}
+
+
+def chip_peaks():
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in CHIP_PEAKS.items():
+        if key in kind:
+            return kind, peaks
+    return kind, (None, None)
+
+
+def flagship_flops_per_step() -> float:
+    """Modeled FLOPs of one flagship train step (fwd + bwd ~ 3x fwd).
+
+    LSTM: 16*d^2 FLOPs/token (4 gates x two d*d matmuls, mul+add);
+    entity LSTM runs over B prefix + N candidate sequences, relation LSTM
+    over B sequences; scoring is one [B,d]x[d,N] matmul (2*B*N*d)."""
+    lstm_entity = (BATCH + CANDS) * MAX_LEN * 16 * D * D
+    lstm_relation = BATCH * MAX_LEN * 16 * D * D
+    score = 2 * BATCH * CANDS * D
+    forward = lstm_entity + lstm_relation + score
+    return 3.0 * forward  # backward of matmul-dominated graphs ~ 2x forward
 
 
 def build_batch(rng, positives_per_row=1.07):
@@ -63,14 +104,11 @@ def build_batch(rng, positives_per_row=1.07):
     }, P_real
 
 
-def bench_tpu() -> float:
+def _flagship_model():
     import jax
-    import jax.numpy as jnp
 
     from __graft_entry__ import _synthetic_meta
     from open_knowledge_graph_embeddings_tpu.models.model import build_model
-    from open_knowledge_graph_embeddings_tpu.train.optim import OptimizerRegimes
-    from open_knowledge_graph_embeddings_tpu.train.step import make_train_step
 
     meta = _synthetic_meta(ENTITIES, RELATIONS, ENT_TOKENS, REL_TOKENS, MAX_LEN)
     model = build_model(
@@ -79,32 +117,75 @@ def bench_tpu() -> float:
         dtype=os.environ.get("OKET_BENCH_DTYPE", "bfloat16"),
     )
     variables = model.init(jax.random.key(0))
+    return meta, model, variables
+
+
+def _regimes():
+    from open_knowledge_graph_embeddings_tpu.train.optim import OptimizerRegimes
+
     regimes = OptimizerRegimes({"optimizer": "Adagrad", "lr": 0.2, "weight_decay": 1e-10})
     regimes.update(1, 0)
+    return regimes
+
+
+def _time_steps(step, variables, opt_state, hp, batch, iters=ITERS, warmup=WARMUP):
+    """Time a (variables, opt_state, hp, batch, rng) -> ... step chain;
+    returns (seconds/step, final stats).  A host fetch of the final loss is
+    the only reliable fence over the axon tunnel."""
+    import jax
+
+    key = jax.random.key(1)
+    for _ in range(warmup):
+        key, sub = jax.random.split(key)
+        variables, opt_state, stats = step(variables, opt_state, hp, batch, sub)
+    float(stats["loss_sum"])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        variables, opt_state, stats = step(variables, opt_state, hp, batch, sub)
+    float(stats["loss_sum"])
+    return (time.perf_counter() - t0) / iters, stats
+
+
+def bench_flagship(sparse: bool = False):
+    """Returns (items_per_sec, step_seconds)."""
+    import jax
+    import jax.numpy as jnp
+
+    meta, model, variables = _flagship_model()
+    regimes = _regimes()
     opt_state = regimes.init_state(variables["params"])
-    step = make_train_step(model, regimes, variables["params"])
     hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
 
     rng = np.random.default_rng(0)
-    batch, P_real = build_batch(rng)
-    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    raw, P_real = build_batch(rng)
 
-    key = jax.random.key(1)
-    for i in range(WARMUP):
-        key, sub = jax.random.split(key)
-        variables, opt_state, stats = step(variables, opt_state, hp, batch, sub)
-    # Over the axon tunnel block_until_ready can return before the chained
-    # executions finish; a host fetch of the final loss value is the only
-    # reliable fence.
-    float(stats["loss_sum"])
+    if sparse:
+        from open_knowledge_graph_embeddings_tpu.data.batching import Batch
+        from open_knowledge_graph_embeddings_tpu.train.sparse import (
+            SparsePlanBuilder,
+            make_sparse_train_step,
+        )
 
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        key, sub = jax.random.split(key)
-        variables, opt_state, stats = step(variables, opt_state, hp, batch, sub)
-    float(stats["loss_sum"])  # fences the whole donated chain
-    dt = time.perf_counter() - t0
-    return P_real * ITERS / dt
+        b = Batch(
+            ent_ids=raw["ent_ids"], rel_ids=raw["rel_ids"], is_sp=raw["is_sp"],
+            row_valid=raw["row_valid"], num_rows=BATCH,
+            candidate_ids=raw["candidate_ids"], col_valid=raw["col_valid"],
+            num_cols=CANDS, cand_offset=2,
+            pos_rows=raw["pos_rows"], pos_cols=raw["pos_cols"],
+            normalizer_loss=float(raw["normalizer_loss"]),
+        )
+        plan = SparsePlanBuilder(model.embedder, entity_sparse=True)
+        batch = {k: jnp.asarray(v) for k, v in plan(b).items()}
+        step = make_sparse_train_step(model, regimes, variables["params"], entity_sparse=True)
+    else:
+        from open_knowledge_graph_embeddings_tpu.train.step import make_train_step
+
+        batch = {k: jnp.asarray(v) for k, v in raw.items()}
+        step = make_train_step(model, regimes, variables["params"])
+
+    dt, _ = _time_steps(step, variables, opt_state, hp, batch)
+    return P_real / dt, dt
 
 
 def bench_torch_cpu_baseline() -> float:
@@ -166,23 +247,263 @@ def bench_torch_cpu_baseline() -> float:
     return items
 
 
+# ------------------------------------------------------------ report mode
+
+
+def bench_segments():
+    """Forward-only / forward+backward / optimizer-only times (flagship)."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_knowledge_graph_embeddings_tpu.train.loss import one_vs_n_loss
+
+    meta, model, variables = _flagship_model()
+    regimes = _regimes()
+    opt_state = regimes.init_state(variables["params"])
+    hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
+    rng = np.random.default_rng(0)
+    raw, _ = build_batch(rng)
+    batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    apply_updates = regimes.make_apply(variables["params"])
+
+    def loss_fn(params, state, buffers, rngk):
+        v = {"params": params, "state": state, "buffers": buffers}
+        scores, new_state, reg = model.prefix_scores(
+            v, batch["ent_ids"], batch["rel_ids"], batch["is_sp"],
+            cand_ids=batch["candidate_ids"], train=True, rng=rngk,
+        )
+        loss_sum, _ = one_vs_n_loss(
+            "bce", scores, batch["pos_rows"], batch["pos_cols"],
+            batch["row_valid"], batch["col_valid"], batch["n_real_cols"], 0.0,
+        )
+        return (loss_sum + reg) / batch["normalizer_loss"]
+
+    fwd = jax.jit(loss_fn)
+    bwd = jax.jit(jax.grad(loss_fn))
+    opt = jax.jit(lambda g, s, p, h: apply_updates(g, s, p, h), donate_argnums=(1,))
+
+    def timeit(fn, *args, iters=10):
+        out = fn(*args)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(iters)]
+        jax.block_until_ready(outs)
+        return (time.perf_counter() - t0) / iters
+
+    p, s, bufs = variables["params"], variables["state"], variables["buffers"]
+    k = jax.random.key(1)
+    t_fwd = timeit(fwd, p, s, bufs, k)
+    t_bwd = timeit(bwd, p, s, bufs, k)
+    grads = bwd(p, s, bufs, k)
+    t_opt = timeit(lambda g: opt(g, regimes.init_state(p), p, hp), grads, iters=5)
+    return {"forward_ms": t_fwd * 1e3, "forward_backward_ms": t_bwd * 1e3,
+            "optimizer_ms": t_opt * 1e3}
+
+
+def bench_full_vocab_train():
+    """Full-vocab 1-vs-N lookup training (FB15k-237-style path, scaled)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_meta
+    from open_knowledge_graph_embeddings_tpu.models.model import build_model
+    from open_knowledge_graph_embeddings_tpu.train.step import make_train_step
+
+    E, d, B = 100_000, 256, 512
+    meta = _synthetic_meta(E, 512, 256, 128, MAX_LEN)
+    model = build_model("LookupComplexRelationModel", meta, entity_slot_size=d,
+                        input_dropout=0.4, init_std=0.1,
+                        dtype=os.environ.get("OKET_BENCH_DTYPE", "bfloat16"))
+    variables = model.init(jax.random.key(0))
+    regimes = _regimes()
+    opt_state = regimes.init_state(variables["params"])
+    hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
+    rng = np.random.default_rng(0)
+    N = E - 2
+    P_real = int(B * 1.07)
+    pos_rows = np.full(1024, -1, np.int32)
+    pos_cols = np.full(1024, -1, np.int32)
+    pos_rows[:P_real] = rng.integers(0, B, P_real)
+    pos_cols[:P_real] = rng.integers(0, N, P_real)
+    batch = {
+        "ent_ids": jnp.asarray(rng.integers(2, E, B).astype(np.int32)),
+        "rel_ids": jnp.asarray(rng.integers(2, 512, B).astype(np.int32)),
+        "is_sp": jnp.asarray(np.arange(B) % 2 == 0),
+        "row_valid": jnp.ones(B, bool),
+        "pos_rows": jnp.asarray(pos_rows),
+        "pos_cols": jnp.asarray(pos_cols),
+        "normalizer_loss": jnp.float32(B * N),
+        "n_real_cols": jnp.float32(N),
+    }
+    step = make_train_step(model, regimes, variables["params"])
+    dt, _ = _time_steps(step, variables, opt_state, hp, batch, iters=10)
+    flops = 3 * 2 * B * N * d
+    return {"items_per_sec": P_real / dt, "step_ms": dt * 1e3,
+            "modeled_tflops": flops / 1e12, "E": E, "B": B, "d": d}
+
+
+def bench_full_vocab_eval():
+    """Full-vocab filtered-ranking eval with the candidate cache (test-set
+    protocol: batch 32, all entities as candidates)."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_knowledge_graph_embeddings_tpu.train.step import make_eval_step
+
+    meta, model, variables = _flagship_model()
+    B = 32
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    cache = model.encode_all_entities(variables)
+    cache.block_until_ready()
+    t_cache = time.perf_counter() - t0
+    cand_emb = cache[meta.min_entities_size:]
+    N = ENTITIES - meta.min_entities_size
+    G = 64
+    batch = {
+        "ent_ids": jnp.asarray(rng.integers(2, ENTITIES, B).astype(np.int32)),
+        "rel_ids": jnp.asarray(rng.integers(2, RELATIONS, B).astype(np.int32)),
+        "is_sp": jnp.asarray(np.arange(B) % 2 == 0),
+        "row_valid": jnp.ones(B, bool),
+        "pos_rows": jnp.asarray(rng.integers(0, B, 64).astype(np.int32)),
+        "pos_cols": jnp.asarray(rng.integers(0, N, 64).astype(np.int32)),
+        "normalizer_loss": jnp.float32(B * N),
+        "n_real_cols": jnp.float32(N),
+        "filter_rows": jnp.asarray(rng.integers(0, B, 256).astype(np.int32)),
+        "filter_cols": jnp.asarray(rng.integers(0, N, 256).astype(np.int32)),
+        "gold_rows": jnp.asarray(rng.integers(0, B, G).astype(np.int32)),
+        "gold_mention_cols": jnp.asarray(rng.integers(0, N, (G, 2)).astype(np.int32)),
+    }
+    eval_step = make_eval_step(model)
+    packed = eval_step(variables, batch, cand_emb)
+    np.asarray(packed)
+    iters = 10
+    t0 = time.perf_counter()
+    outs = [eval_step(variables, batch, cand_emb) for _ in range(iters)]
+    np.asarray(outs[-1])
+    dt = (time.perf_counter() - t0) / iters
+    return {"prefixes_per_sec": B / dt, "batch_ms": dt * 1e3,
+            "cache_precompute_s": t_cache,
+            "score_tflops_per_batch": 2 * B * N * D / 1e12}
+
+
+def bench_host_collate():
+    """Host-side batch construction throughput at flagship shapes vs the
+    device step: is prefetch keeping the chip fed?"""
+    from open_knowledge_graph_embeddings_tpu.data.batching import Batch, BatchBuilder
+
+    # synthetic prefix records at OLPBench-ish scale
+    class _Rec:
+        pass
+
+    n_items = 50_000
+    rng = np.random.default_rng(0)
+    rec = _Rec()
+    rec.slot = rng.integers(0, 2, n_items).astype(np.int8) * 2  # SLOT_PO=0 / SLOT_SP=2
+    rec.p1 = rng.integers(2, ENTITIES, n_items).astype(np.int32)
+    rec.p2 = rng.integers(2, RELATIONS, n_items).astype(np.int32)
+    lens = rng.integers(1, 4, n_items)
+    offs = np.zeros(n_items + 1, np.int64)
+    np.cumsum(lens, out=offs[1:])
+    vals = rng.integers(2, ENTITIES, int(offs[-1])).astype(np.int32)
+    rec.mention_offsets = offs
+    rec.mentions = vals
+    rec.group_offsets = np.arange(n_items + 1, dtype=np.int64)
+    rec.filter_offsets = None
+
+    def row_mentions(i):
+        return vals[offs[i]:offs[i + 1]]
+
+    rec.row_mentions = row_mentions
+    rec.__len__ = lambda: n_items
+
+    class _DS:
+        records = rec
+        batch_size = BATCH
+        batch_size_for_backward = BATCH
+        is_training_data = True
+        use_batch_shared_entities = True
+        min_size_batch_labels = CANDS
+
+        class meta:
+            entities_size = ENTITIES
+            min_entities_size = 2
+
+    class _RecLen:
+        def __len__(self):
+            return n_items
+
+    builder = BatchBuilder.__new__(BatchBuilder)
+    builder.ds = _DS()
+    builder.rec = rec
+    builder.meta = _DS.meta
+    builder.batch_size = BATCH
+    builder.drop_last = True
+    builder.host_shard = None
+    builder.pos_bucket_min = 1024
+    builder.rng = np.random.default_rng(0)
+    builder.cand_offset = 2
+    builder.full_num_cols = ENTITIES - 2
+    builder._col_of_ent = np.full(ENTITIES, -1, dtype=np.int32)
+    rec_len = n_items
+
+    ids = np.arange(BATCH)
+    builder.build(ids)  # warm caches
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        builder.build((ids + i * BATCH) % (rec_len - BATCH))
+    dt = (time.perf_counter() - t0) / iters
+    return {"batches_per_sec": 1.0 / dt, "build_ms": dt * 1e3}
+
+
 def main():
-    value = bench_tpu()
+    report = "--report" in sys.argv
+    kind, (peak_tflops, peak_bw) = chip_peaks()
+
+    items, step_s = bench_flagship(sparse=False)
+    flops = flagship_flops_per_step()
+    achieved_tflops = flops / step_s / 1e12
+    out = {
+        "metric": "OLPBench-shaped LSTM-ComplEx train items/sec (1 chip, d=512, batch 4096, 4096 batch-shared candidates)",
+        "value": round(items, 1),
+        "unit": "items/s",
+        "device": kind,
+        "step_ms": round(step_s * 1e3, 2),
+        "modeled_tflops_per_step": round(flops / 1e12, 3),
+        "achieved_tflops": round(achieved_tflops, 1),
+    }
+    if peak_tflops:
+        out["mfu"] = round(achieved_tflops / peak_tflops, 3)
     try:
         baseline = bench_torch_cpu_baseline()
-        vs = value / baseline
+        out["vs_baseline"] = round(items / baseline, 2)
     except Exception:
-        vs = 1.0
-    print(
-        json.dumps(
-            {
-                "metric": "OLPBench-shaped LSTM-ComplEx train items/sec (1 chip, d=512, batch 4096, 4096 batch-shared candidates)",
-                "value": round(value, 1),
-                "unit": "items/s",
-                "vs_baseline": round(vs, 2),
-            }
-        )
-    )
+        out["vs_baseline"] = 1.0
+
+    if report:
+        rep = {"flagship_dense": out}
+        items_sp, step_sp = bench_flagship(sparse=True)
+        rep["flagship_sparse"] = {
+            "items_per_sec": round(items_sp, 1), "step_ms": round(step_sp * 1e3, 2),
+        }
+        rep["segments"] = {k: round(v, 2) for k, v in bench_segments().items()}
+        rep["full_vocab_train"] = {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in bench_full_vocab_train().items()
+        }
+        rep["full_vocab_eval"] = {
+            k: (round(v, 3) if isinstance(v, float) else v)
+            for k, v in bench_full_vocab_eval().items()
+        }
+        host = bench_host_collate()
+        host["keeps_chip_fed"] = bool(1.0 / host["batches_per_sec"] < step_s)
+        rep["host_collate"] = {
+            k: (round(v, 3) if isinstance(v, float) else v) for k, v in host.items()
+        }
+        print(json.dumps(rep, indent=2), file=sys.stderr)
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -2,10 +2,10 @@
 
 Usage: python multihost_worker.py DATASET_DIR EXP_DIR NPROC PID PORT [batch_shared]
 
-Runs the CLI training entry point on a 4x2 (data x model) mesh built from
-8 virtual CPU devices.  With NPROC=2 each process contributes 4 devices and
+Runs the CLI training entry point on a 2x2 (data x model) mesh built from
+4 virtual CPU devices.  With NPROC=2 each process contributes 2 devices and
 connects via jax.distributed (exercising the OKET_* env wiring of
-cli/train.py); with NPROC=1 a single process owns all 8.  Both must produce
+cli/train.py); with NPROC=1 a single process owns all 4.  Both must produce
 identical training results (tests/test_multihost.py asserts it).
 """
 
@@ -16,7 +16,7 @@ dataset_dir, exp_dir, nproc, pid, port = sys.argv[1:6]
 batch_shared = len(sys.argv) > 6 and sys.argv[6] == "batch_shared"
 nproc, pid = int(nproc), int(pid)
 
-local_devices = 8 // nproc
+local_devices = 4 // nproc
 os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={local_devices}"
 os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
@@ -46,7 +46,7 @@ args.update(
     dataset_dir=dataset_dir,
     experiment_dir=exp_dir,
     seed=7,
-    epochs=4,
+    epochs=3,
     batch_size=4,
     eval_epoch_freq=2,
     eval_freq=-1,
@@ -65,7 +65,7 @@ args.update(
                       "use_batch_shared_entities": False},
 )
 trainer = main(args)
-assert trainer.mesh is not None and dict(trainer.mesh.shape) == {"data": 4, "model": 2}, (
+assert trainer.mesh is not None and dict(trainer.mesh.shape) == {"data": 2, "model": 2}, (
     trainer.mesh
 )
 if nproc > 1:

@@ -26,28 +26,38 @@ def _free_port() -> int:
     return port
 
 
-def _run_workers(dataset_dir, exp_base, nproc, port, mode=""):
+def _start_workers(dataset_dir, exp_base, nproc, port, mode=""):
+    # worker output goes to FILES, never PIPEs: a full pipe buffer blocks a
+    # worker mid-collective while its peer waits on it -> cross-process
+    # deadlock (the workers log verbosely)
     procs = []
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "OKET_COORDINATOR",
                         "OKET_NUM_PROCESSES", "OKET_PROCESS_ID")}
     for pid in range(nproc):
         exp = f"{exp_base}-p{pid}"
+        log = open(f"{exp_base}-p{pid}.log", "w")
         procs.append(
-            subprocess.Popen(
-                [sys.executable, WORKER, dataset_dir, exp, str(nproc), str(pid),
-                 str(port)] + ([mode] if mode else []),
-                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True,
+            (
+                subprocess.Popen(
+                    [sys.executable, WORKER, dataset_dir, exp, str(nproc), str(pid),
+                     str(port)] + ([mode] if mode else []),
+                    stdout=log, stderr=subprocess.STDOUT, env=env, text=True,
+                ),
+                log,
             )
         )
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=600)
-        outs.append(out)
-    for p, out in zip(procs, outs):
+    return procs
+
+
+def _join_workers(procs):
+    for p, log in procs:
+        p.wait(timeout=600)
+        log.close()
+    for p, log in procs:
+        out = open(log.name).read()
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
         assert "WORKER_OK" in out
-    return outs
 
 
 def _final_params(exp_dir):
@@ -59,11 +69,16 @@ def _final_params(exp_dir):
     return {k: z[k] for k in z.files if k.startswith("params/")}
 
 
-@pytest.mark.parametrize("mode", ["", "batch_shared"])
-def test_two_process_matches_single_process(toy_dataset_dir, tmp_path, mode):
-    port = _free_port()
-    _run_workers(toy_dataset_dir, str(tmp_path / "single"), 1, port, mode)
-    _run_workers(toy_dataset_dir, str(tmp_path / "multi"), 2, _free_port(), mode)
+def test_two_process_matches_single_process(toy_dataset_dir, tmp_path):
+    # batch-shared mode: exercises negative top-up, candidate-space label
+    # translation, and the replicated-collate multi-host input contract.
+    # The single- and two-process runs launch concurrently (independent
+    # process groups) — this host has few cores and worker startup dominates.
+    mode = "batch_shared"
+    single = _start_workers(toy_dataset_dir, str(tmp_path / "single"), 1, _free_port(), mode)
+    multi = _start_workers(toy_dataset_dir, str(tmp_path / "multi"), 2, _free_port(), mode)
+    _join_workers(single)
+    _join_workers(multi)
 
     p_single = _final_params(str(tmp_path / "single-p0"))
     p_multi = _final_params(str(tmp_path / "multi-p0"))  # rank 0 writes
