@@ -102,6 +102,13 @@ def zero_pad_row_grads(grads: Variables, table_names=()) -> Variables:
     return grads
 
 
+def _table_rows(n: int, sparse: bool) -> int:
+    """Table height; row-sparse tables are padded to a multiple of 8 (the
+    TPU float32 HBM tile height) so the block-layout scatter-Adagrad kernel
+    can address whole tiles.  The pad rows are never referenced by any id."""
+    return -(-n // 8) * 8 if sparse else n
+
+
 def _pad_stop_gradient(emb: jax.Array, toks: jax.Array) -> jax.Array:
     """Keep pad-token embedding *values* in the forward (reference semantics:
     random PAD rows participate in sum pooling) but drop their gradient —
@@ -196,11 +203,15 @@ class LookupEmbedder(Embedder):
         ks = iter(jax.random.split(rng, 8))
         params: Dict[str, Any] = {
             "entity_embedding": jax.random.normal(
-                next(ks), (self.meta.entities_size, self._entity_emb_size), jnp.float32
+                next(ks),
+                (_table_rows(self.meta.entities_size, self.sparse), self._entity_emb_size),
+                jnp.float32,
             )
             * self.init_std,
             "relation_embedding": jax.random.normal(
-                next(ks), (self.meta.relations_size, self._relation_emb_size), jnp.float32
+                next(ks),
+                (_table_rows(self.meta.relations_size, self.sparse), self._relation_emb_size),
+                jnp.float32,
             )
             * self.init_std,
         }
@@ -341,11 +352,15 @@ class TokenEmbedderBase(Embedder):
     def _init_base(self, ks) -> Tuple[Dict, Dict, Dict]:
         params: Dict[str, Any] = {
             "entity_token_embedding": jax.random.normal(
-                next(ks), (self.meta.entity_tokens_size, self.entity_slot_size), jnp.float32
+                next(ks),
+                (_table_rows(self.meta.entity_tokens_size, self.sparse), self.entity_slot_size),
+                jnp.float32,
             )
             * self.init_std,
             "relation_token_embedding": jax.random.normal(
-                next(ks), (self.meta.relation_tokens_size, self.relation_slot_size), jnp.float32
+                next(ks),
+                (_table_rows(self.meta.relation_tokens_size, self.sparse), self.relation_slot_size),
+                jnp.float32,
             )
             * self.init_std,
         }

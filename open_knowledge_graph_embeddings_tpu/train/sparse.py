@@ -87,23 +87,80 @@ class SparsePlanBuilder:
     replaced by batch-local matrices under ``sparse/buffers/*``.
     """
 
-    def __init__(self, embedder, entity_sparse: bool, uid_bucket_min: int = 256):
+    BLOCK = 8  # TPU float32 HBM tile height (see scatter_adagrad_kernel.py)
+
+    def __init__(
+        self,
+        embedder,
+        entity_sparse: bool,
+        uid_bucket_min: int = 256,
+        min_rows_ratio: float = 2.0,
+        layout: Optional[str] = None,
+    ):
+        """``min_rows_ratio``: a table is only sparsified for a batch when
+        its height exceeds ``ratio x touched-rows`` — below that the dense
+        update's O(V) passes are cheaper than the layout overhead.
+
+        ``layout``: 'compact' ships the unique row ids directly (the XLA
+        gather/scatter path — measured fastest on v5e, where XLA scatter
+        costs ~0.35us/row regardless of width); 'block' groups rows into
+        8-row HBM tiles for the Pallas block-scatter kernel (exact, but
+        DMA-issue-bound at ~0.27us/DMA — today slower at entity-table
+        shapes; kept selectable via OKET_SPARSE_PALLAS=1)."""
         self.embedder = embedder
         self.entity_sparse = entity_sparse
         self.uid_bucket_min = uid_bucket_min
+        self.min_rows_ratio = min_rows_ratio
+        if layout is None:
+            import os
+
+            layout = "block" if os.environ.get("OKET_SPARSE_PALLAS") else "compact"
+        assert layout in ("compact", "block"), layout
+        self.layout = layout
         self.tables = sparse_table_names(embedder, entity_sparse)
         self.is_token = isinstance(embedder, TokenEmbedderBase)
         if entity_sparse and not self.tables:
             raise ValueError(f"no sparse tables for embedder {type(embedder).__name__}")
 
-    def _pack_uids(self, d: Dict[str, Any], table: str, uids: np.ndarray) -> None:
-        U = next_bucket(len(uids), minimum=self.uid_bucket_min)
-        padded = np.zeros(U, np.int32)
-        padded[: len(uids)] = uids
-        valid = np.zeros(U, bool)
-        valid[: len(uids)] = True
-        d[f"sparse/{table}/uids"] = padded
+    def _pack_rows(self, d: Dict[str, Any], table: str, uids: np.ndarray, height: int):
+        """Emit the sparse plan for one table and return the uid ->
+        layout-position remapper, or None when the table is too small for
+        sparsification to pay off (then no plan keys are emitted and the
+        caller must keep original ids)."""
+        B = self.BLOCK
+        if self.layout == "compact":
+            U = next_bucket(len(uids), minimum=self.uid_bucket_min)
+            if height < self.min_rows_ratio * U:
+                return None
+            padded = np.zeros(U, np.int32)
+            padded[: len(uids)] = uids
+            valid = np.zeros(U, bool)
+            valid[: len(uids)] = True
+            d[f"sparse/{table}/uids"] = padded
+            d[f"sparse/{table}/valid"] = valid
+            return lambda x: np.searchsorted(uids, x).astype(np.int32)
+        # block-aligned layout: sorted unique row ids grouped into their
+        # enclosing 8-row HBM tiles (unique block ids drive the Pallas kernel)
+        blocks = np.unique(uids >> 3)
+        Kb = next_bucket(len(blocks), minimum=max(self.uid_bucket_min // B, 8))
+        if height < self.min_rows_ratio * Kb * B:
+            return None
+        block_ids = np.zeros(Kb, np.int32)
+        block_ids[: len(blocks)] = blocks
+        layout_uids = (block_ids[:, None] * B + np.arange(B, dtype=np.int32)).reshape(-1)
+        pos = np.searchsorted(blocks, uids >> 3).astype(np.int32) * B + (uids & (B - 1))
+        valid = np.zeros(Kb * B, bool)
+        valid[pos] = True
+        d[f"sparse/{table}/block_ids"] = block_ids
+        d[f"sparse/{table}/uids"] = layout_uids
         d[f"sparse/{table}/valid"] = valid
+
+        def remap(x: np.ndarray) -> np.ndarray:
+            return (
+                np.searchsorted(blocks, x >> 3).astype(np.int32) * B + (x & (B - 1))
+            ).astype(np.int32)
+
+        return remap
 
     def __call__(self, batch: Batch) -> Dict[str, Any]:
         d = train_batch_to_arrays(batch)
@@ -114,18 +171,21 @@ class SparsePlanBuilder:
         return d
 
     def _plan_lookup(self, d: Dict[str, Any], batch: Batch) -> None:
+        meta = self.embedder.meta
         if self.entity_sparse:
             assert batch.candidate_ids is not None, (
                 "entity-table sparsity requires batch-shared candidates"
             )
             used = np.concatenate([batch.ent_ids, batch.candidate_ids])
-            ue = np.unique(used)  # sorted; includes PAD id 0 from padding rows
-            d["ent_ids"] = np.searchsorted(ue, batch.ent_ids).astype(np.int32)
-            d["candidate_ids"] = np.searchsorted(ue, batch.candidate_ids).astype(np.int32)
-            self._pack_uids(d, "entity_embedding", ue)
-        ur = np.unique(batch.rel_ids)
-        d["rel_ids"] = np.searchsorted(ur, batch.rel_ids).astype(np.int32)
-        self._pack_uids(d, "relation_embedding", ur)
+            remap = self._pack_rows(d, "entity_embedding", np.unique(used), meta.entities_size)
+            if remap is not None:
+                d["ent_ids"] = remap(batch.ent_ids)
+                d["candidate_ids"] = remap(batch.candidate_ids)
+        remap = self._pack_rows(
+            d, "relation_embedding", np.unique(batch.rel_ids), meta.relations_size
+        )
+        if remap is not None:
+            d["rel_ids"] = remap(batch.rel_ids)
 
     def _plan_token(self, d: Dict[str, Any], batch: Batch) -> None:
         meta = self.embedder.meta
@@ -135,33 +195,42 @@ class SparsePlanBuilder:
             )
             used = np.concatenate([batch.ent_ids, batch.candidate_ids])
             toks = meta.entity_token_ids[used]  # [B+N, L]
-            ut = np.unique(toks)  # sorted; PAD token 0 maps to position 0
-            local = np.searchsorted(ut, toks).astype(np.int32)
-            B = len(batch.ent_ids)
-            d["ent_ids"] = np.arange(B, dtype=np.int32)
-            d["candidate_ids"] = np.arange(B, B + len(batch.candidate_ids), dtype=np.int32)
-            d["sparse/buffers/entity_token_ids"] = local
-            self._pack_uids(d, "entity_token_embedding", ut)
+            # PAD (token 0) must map to layout position 0 even when no pad
+            # token appears in the batch: _pad_stop_gradient and the length
+            # masks key off remapped id 0
+            ut = np.union1d(np.int32(0), toks)
+            remap = self._pack_rows(d, "entity_token_embedding", ut, meta.entity_tokens_size)
+            if remap is not None:
+                B = len(batch.ent_ids)
+                d["ent_ids"] = np.arange(B, dtype=np.int32)
+                d["candidate_ids"] = np.arange(
+                    B, B + len(batch.candidate_ids), dtype=np.int32
+                )
+                d["sparse/buffers/entity_token_ids"] = remap(toks)
         rtoks = meta.relation_token_ids[batch.rel_ids]  # [B, L]
-        urt = np.unique(rtoks)
-        d["rel_ids"] = np.arange(len(batch.rel_ids), dtype=np.int32)
-        d["sparse/buffers/relation_token_ids"] = np.searchsorted(urt, rtoks).astype(np.int32)
-        self._pack_uids(d, "relation_token_embedding", urt)
+        remap = self._pack_rows(
+            d, "relation_token_embedding", np.union1d(np.int32(0), rtoks),
+            meta.relation_tokens_size,
+        )
+        if remap is not None:
+            d["rel_ids"] = np.arange(len(batch.rel_ids), dtype=np.int32)
+            d["sparse/buffers/relation_token_ids"] = remap(rtoks)
 
 
 # ------------------------------------------------------------- row updates
 
 
-def _sparse_adagrad_rows(g_rows, uids, valid, p, s, hp):
+def _sparse_adagrad_rows(g_rows, uids, valid, p, s, hp, block_ids=None):
     step = s["step"] + 1.0
     clr = hp["lr"] / (1.0 + (step - 1.0) * hp["lr_decay"])
     new_p, new_acc = scatter_adagrad(
-        g_rows, uids, valid, p, s["sum"], clr, hp["weight_decay"], hp["eps"]
+        g_rows, uids, valid, p, s["sum"], clr, hp["weight_decay"], hp["eps"],
+        block_ids=block_ids,
     )
     return new_p, {"sum": new_acc, "step": step}
 
 
-def _sparse_sgd_rows(g_rows, uids, valid, p, s, hp):
+def _sparse_sgd_rows(g_rows, uids, valid, p, s, hp, block_ids=None):
     vm = valid[:, None].astype(jnp.float32)
     p_rows = p[uids]
     g = (g_rows.astype(jnp.float32) + hp["weight_decay"] * p_rows) * vm
@@ -205,9 +274,6 @@ def make_sparse_train_step(
                 merged.update(ph)
             if float(merged.get("momentum", 0.0)) != 0.0:
                 raise ValueError("sparse SGD requires momentum == 0")
-    sparse_tables = tuple(table_label)
-    dense_example = {k: v for k, v in params_example.items() if k not in sparse_tables}
-    dense_apply = regimes.make_apply(dense_example, grad_clip=None)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(variables, opt_state, hparams, batch, rng):
@@ -217,6 +283,15 @@ def make_sparse_train_step(
             key = f"sparse/buffers/{bk}"
             if key in batch:
                 buffers[bk] = batch[key]
+        # which tables actually carry a sparse plan is decided per batch by
+        # the SparsePlanBuilder (small tables fall back to dense updates);
+        # resolved here at trace time from the batch's key set
+        sparse_tables = tuple(
+            t for t in table_label if f"sparse/{t}/uids" in batch
+        )
+        dense_apply = regimes.make_apply(
+            {k: v for k, v in params.items() if k not in sparse_tables}, grad_clip=None
+        )
         uids = {t: batch[f"sparse/{t}/uids"] for t in sparse_tables}
         valid = {t: batch[f"sparse/{t}/valid"] for t in sparse_tables}
         rows = {t: params[t][uids[t]] for t in sparse_tables}
@@ -256,7 +331,8 @@ def make_sparse_train_step(
             hp = hparams[table_label[t]]
             rule = _SPARSE_RULES[opt_names[table_label[t]]]
             new_params[t], new_opt[t] = rule(
-                g_rows[t], uids[t], valid[t], params[t], opt_state[t], hp
+                g_rows[t], uids[t], valid[t], params[t], opt_state[t], hp,
+                block_ids=batch.get(f"sparse/{t}/block_ids"),
             )
         new_variables = {
             "params": new_params,

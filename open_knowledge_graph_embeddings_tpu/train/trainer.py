@@ -150,7 +150,10 @@ class Trainer:
                 logger.warning("sparse=true has no sparse-capable tables; using dense path")
                 self.sparse = False
             else:
-                self._sparse_plan = SparsePlanBuilder(model.embedder, entity_sparse)
+                self._sparse_plan = SparsePlanBuilder(
+                    model.embedder, entity_sparse,
+                    min_rows_ratio=float(args.get("sparse_min_ratio", 2.0)),
+                )
                 logger.info(
                     "row-sparse updates for tables %s (entity_sparse=%s)",
                     self._sparse_plan.tables, entity_sparse,

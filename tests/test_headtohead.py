@@ -1,0 +1,203 @@
+"""Head-to-head learning parity against the live torch reference.
+
+Trains the same model (LookupComplex, no dropout) on the same data
+(FB15k-237 valid-as-train — the real train blob is stripped from the
+reference checkout), from the same initial weights, feeding BOTH frameworks
+the IDENTICAL batches, and asserts:
+
+1. the per-step loss trajectories match,
+2. the final embedding tables match,
+3. the filtered ranking metrics of the two trained parameter sets match.
+
+This is the BASELINE.md "reference-parity training" check in its
+seed-matched form (reference loop: openkge/trainer.py:181-257, loss wiring
+scripts/train.py:108-111).
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+FB = f"{REF}/data/fb15k237/mapped_to_ids"
+if not os.path.isdir(FB):
+    pytest.skip("FB15k-237 data not available", allow_module_level=True)
+if REF not in sys.path:
+    sys.path.insert(0, REF)
+
+import jax
+import jax.numpy as jnp
+
+from openkge.dataset import OneToNMentionRelationDataset as RefDS  # noqa: E402
+from openkge.model import Models as RefModels  # noqa: E402
+from openkge.trainer import AddLossModule  # noqa: E402
+from torch.nn import BCEWithLogitsLoss  # noqa: E402
+
+from open_knowledge_graph_embeddings_tpu.data import (
+    BatchBuilder,
+    OneToNMentionRelationDataset,
+)
+from open_knowledge_graph_embeddings_tpu.models import build_model
+from open_knowledge_graph_embeddings_tpu.train import (
+    OptimizerRegimes,
+    eval_batch_to_arrays,
+    make_eval_step,
+    make_train_step,
+    train_batch_to_arrays,
+)
+from open_knowledge_graph_embeddings_tpu.train.step import unpack_eval_stats
+
+D = 32
+B = 256
+STEPS = 30
+LR = 0.3
+WD = 1e-10
+
+
+def _ref_inputs_from_batch(batch, num_cols):
+    """Reference AddLossModule inputs built from OUR batch (po rows first,
+    then sp — the reference's own slot order)."""
+    n = batch.num_rows
+    is_sp = batch.is_sp[:n]
+    n_po = int((~is_sp).sum())
+    po = sp = None
+    if n_po:
+        po = (
+            torch.IntTensor(batch.rel_ids[:n_po]),
+            torch.IntTensor(batch.ent_ids[:n_po]),
+        )
+    if n - n_po:
+        sp = (
+            torch.IntTensor(batch.ent_ids[n_po:n]),
+            torch.IntTensor(batch.rel_ids[n_po:n]),
+        )
+    labels = torch.zeros(n, num_cols)
+    pr, pc = batch.pos_rows, batch.pos_cols
+    m = pr >= 0
+    labels[pr[m], pc[m]] = 1.0
+    return [po, sp], labels
+
+
+@pytest.fixture(scope="module")
+def setup():
+    ours_ds = OneToNMentionRelationDataset(
+        dataset_dir=FB, input_file="valid.txt", is_training_data=True, batch_size=B,
+    )
+    eval_ds = OneToNMentionRelationDataset(
+        dataset_dir=FB, input_file="test.txt", is_training_data=False, batch_size=B,
+    )
+    eval_ds.attach_filter_index("valid.txt", "valid.txt", "test.txt")
+
+    ref_ds = RefDS(
+        dataset_dir=FB, input_file="valid.txt", is_training_data=True,
+        copy_data_to_dev_shm=False, batch_size=B,
+    )
+
+    our_model = build_model(
+        "LookupComplexRelationModel", ours_ds.meta, entity_slot_size=D, init_std=0.1,
+    )
+    ref_model = RefModels.LookupComplexRelationModel(
+        entity_slot_size=D, train_data=ref_ds.get_dataset_meta_dict(), init_std=0.1,
+    )
+    variables = our_model.init(jax.random.key(0))
+    variables["params"]["entity_embedding"] = jnp.asarray(
+        ref_model.entity_embedding.weight.detach().numpy()
+    )
+    variables["params"]["relation_embedding"] = jnp.asarray(
+        ref_model.relation_embedding.weight.detach().numpy()
+    )
+    return ours_ds, eval_ds, our_model, ref_model, variables
+
+
+def test_training_trajectories_match(setup):
+    ours_ds, eval_ds, our_model, ref_model, variables = setup
+    meta = ours_ds.meta
+    N = meta.entities_size - meta.min_entities_size
+
+    # --- our side
+    regimes = OptimizerRegimes({"optimizer": "Adagrad", "lr": LR, "weight_decay": WD})
+    regimes.update(1, 0)
+    opt_state = regimes.init_state(variables["params"])
+    step = make_train_step(our_model, regimes, variables["params"])
+    hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
+
+    # --- reference side
+    ref_model.train()
+    ref_loss_mod = AddLossModule(ref_model, BCEWithLogitsLoss(reduction="sum"))
+    ref_opt = torch.optim.Adagrad(ref_model.parameters(), lr=LR, weight_decay=WD)
+    all_ids = torch.arange(meta.entities_size)[meta.min_entities_size:].int()
+
+    builder = BatchBuilder(ours_ds, seed=0)
+    our_losses, ref_losses = [], []
+    v = variables
+    batches = []
+    for i, batch in enumerate(builder.batches(shuffle=False)):
+        if i >= STEPS:
+            break
+        batches.append(batch)
+        # ours
+        v, opt_state, stats = step(v, opt_state, hp, train_batch_to_arrays(batch), jax.random.key(i))
+        our_losses.append(float(stats["loss_sum"]) / batch.normalizer_loss)
+        # reference, same batch
+        inputs, labels = _ref_inputs_from_batch(batch, N)
+        ref_opt.zero_grad()
+        loss, hook_loss, _ = ref_loss_mod(
+            inputs=inputs, labels=labels,
+            use_batch_shared_entities=False, batch_shared_entities=all_ids,
+            input_style_triple_or_prefix="right_and_left_prefix",
+        )
+        backward = loss.sum() / batch.normalizer_loss
+        if hook_loss is not None:
+            backward = backward + hook_loss / batch.normalizer_loss
+        backward.backward()
+        ref_opt.step()
+        ref_losses.append(float(loss.detach()) / batch.normalizer_loss)
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-4, atol=1e-6,
+                               err_msg="per-step loss trajectories diverged")
+    assert our_losses[-1] < our_losses[0], "no learning happened"
+
+    # final tables match
+    for name, ref_w in (
+        ("entity_embedding", ref_model.entity_embedding.weight),
+        ("relation_embedding", ref_model.relation_embedding.weight),
+    ):
+        # fp32 accumulation-order differences compound over 30 Adagrad steps;
+        # untouched rows are chaotic by construction (update = clr*wd*p /
+        # (sqrt((wd*p)^2 * t) + eps) divides near-zero by near-zero, so 1e-12
+        # fp noise in the wd gradient moves the row by O(clr/sqrt(t))) —
+        # atol=3e-3 covers those few elements; everything else is ~1e-5 tight
+        np.testing.assert_allclose(
+            np.asarray(v["params"][name]), ref_w.detach().numpy(),
+            rtol=1e-3, atol=3e-3, err_msg=f"{name} diverged after {STEPS} steps",
+        )
+
+    # filtered ranking metrics of the two trained parameter sets match
+    eval_step = make_eval_step(our_model)
+    ref_params = dict(v["params"])
+    ref_params["entity_embedding"] = jnp.asarray(
+        ref_model.entity_embedding.weight.detach().numpy()
+    )
+    ref_params["relation_embedding"] = jnp.asarray(
+        ref_model.relation_embedding.weight.detach().numpy()
+    )
+    eval_builder = BatchBuilder(eval_ds)
+
+    def mrr_h10(params):
+        vv = {**v, "params": params}
+        sums = np.zeros(3)
+        for j, eb in enumerate(eval_builder.batches()):
+            if j >= 4:
+                break
+            s = unpack_eval_stats(eval_step(vv, eval_batch_to_arrays(eb)))
+            sums += [s["mrr"], s["h10"], s["count"]]
+        return sums[0] / sums[2], sums[1] / sums[2]
+
+    ours_m, ours_h = mrr_h10(v["params"])
+    ref_m, ref_h = mrr_h10(ref_params)
+    assert abs(ours_m - ref_m) < 1e-3, (ours_m, ref_m)
+    assert abs(ours_h - ref_h) < 1e-3, (ours_h, ref_h)

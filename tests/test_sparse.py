@@ -73,7 +73,8 @@ def _run_steps(model, variables, batches, step, plan, n=3, hp_over=None):
     ("LSTMComplexRelationModel", True),
     ("UnigramPoolingComplexRelationModel", True),
 ])
-def test_sparse_matches_dense(model_name, batch_shared):
+@pytest.mark.parametrize("layout", ["compact", "block"])
+def test_sparse_matches_dense(model_name, batch_shared, layout):
     rng = np.random.default_rng(0)
     meta = _synthetic_meta(entities=64, relations=16, ent_tokens=48, rel_tokens=24, max_len=6)
     cfg = dict(entity_slot_size=16, init_std=0.1, dropout=0.0)
@@ -90,7 +91,8 @@ def test_sparse_matches_dense(model_name, batch_shared):
         dense_step, train_batch_to_arrays,
     )
 
-    plan = SparsePlanBuilder(model.embedder, entity_sparse=batch_shared)
+    plan = SparsePlanBuilder(model.embedder, entity_sparse=batch_shared,
+                             min_rows_ratio=0.0, layout=layout)
     sparse_step = make_sparse_train_step(
         model, regimes, variables["params"], entity_sparse=batch_shared
     )
@@ -123,7 +125,7 @@ def test_sparse_lazy_weight_decay_touched_rows_match_dense():
     dense_step = make_train_step(model, regimes, variables["params"])
     v_d, _ = _run_steps(model, jax.tree_util.tree_map(jnp.copy, variables), [batch],
                         dense_step, train_batch_to_arrays, n=1, hp_over=0.01)
-    plan = SparsePlanBuilder(model.embedder, entity_sparse=True)
+    plan = SparsePlanBuilder(model.embedder, entity_sparse=True, min_rows_ratio=0.0)
     sparse_step = make_sparse_train_step(model, regimes, variables["params"], entity_sparse=True)
     v_s, _ = _run_steps(model, jax.tree_util.tree_map(jnp.copy, variables), [batch],
                         sparse_step, plan, n=1, hp_over=0.01)
@@ -164,7 +166,7 @@ def test_sparse_cli_trains_and_learns(toy_dataset_dir, tmp_path):
     from open_knowledge_graph_embeddings_tpu.cli.train import main
 
     args = _toy_args(
-        toy_dataset_dir, tmp_path, epochs=10,
+        toy_dataset_dir, tmp_path, epochs=10, sparse_min_ratio=0.0,
         model_config={"entity_slot_size": 8, "init_std": 0.1, "sparse": True},
         train_data_config={"input_file": "train.txt", "batch_size": 4,
                            "use_batch_shared_entities": True, "min_size_batch_labels": 6},
@@ -174,3 +176,22 @@ def test_sparse_cli_trains_and_learns(toy_dataset_dir, tmp_path):
     rows = trainer.results.to_dicts()
     losses = [r["training_loss"] for r in rows if "training_loss" in r]
     assert losses[-1] < losses[0], "sparse path must learn"
+
+
+def test_small_tables_fall_back_to_dense_plan():
+    """With the default min_rows_ratio, tiny tables get no sparse plan and
+    the step updates them densely (same result, no layout overhead)."""
+    rng = np.random.default_rng(2)
+    meta = _synthetic_meta(entities=64, relations=16, ent_tokens=48, rel_tokens=24, max_len=6)
+    model = build_model("LookupComplexRelationModel", meta, entity_slot_size=16, init_std=0.1)
+    plan = SparsePlanBuilder(model.embedder, entity_sparse=True, min_rows_ratio=1e9)
+    batch = _mk_batch(meta, rng)
+    d = plan(batch)
+    assert not any(k.startswith("sparse/") for k in d)
+    # the sparse step still trains correctly (all-dense split at trace time)
+    regimes = OptimizerRegimes({"optimizer": "Adagrad", "lr": 0.2})
+    regimes.update(1, 0)
+    variables = model.init(jax.random.key(0))
+    step = make_sparse_train_step(model, regimes, variables["params"], entity_sparse=True)
+    v, loss = _run_steps(model, variables, [batch], step, plan, n=1)
+    assert np.isfinite(loss)
