@@ -1,8 +1,9 @@
-"""Explicit shard_map scoring path with manual collectives.
+"""Explicit shard_map path with manual collectives (lookup/BCE core).
 
 The default distributed path (`parallel/sharding.py`) hands `NamedSharding`
-annotations to `jax.jit` and lets XLA insert collectives.  This module is
-the hand-written equivalent for the core 1-vs-N computation, making the
+annotations to `jax.jit` and lets XLA insert collectives — that is the
+PRODUCTION path, covering every model family and loss.  This module is the
+hand-written equivalent for the core 1-vs-N computation, making the
 communication pattern explicit and auditable:
 
 * the entity table is row-sharded over the ``model`` axis: shard m owns
@@ -13,10 +14,18 @@ communication pattern explicit and auditable:
 * batch rows are sharded over ``data``; every shard computes its local
   ``[B/D, d] x [d, N/M]`` score block against its *local* candidate slab —
   the full ``[B, N]`` score matrix never materializes on any chip,
-* the loss is a local masked sum + `psum` over both axes.
+* the loss is a local masked sum + `psum` over both axes,
+* the backward is the shard_map transpose of the above (the psum gathers
+  transpose to broadcasts; each shard receives exactly its slab's gradient),
+  and :func:`make_sharded_lookup_train_step` completes it into a FULL
+  training step — Adagrad runs shard-locally on the slab and its
+  equally-sharded accumulator, with zero additional communication.
 
-CPU-mesh tested equal to the single-device step (tests/test_shard_map.py);
-on hardware the same program maps the psums onto ICI rings.
+Scope (deliberate): lookup embedder x {ComplEx, DistMult} x BCE full-vocab —
+the FB15k-237 headline path.  Token encoders and KL train on the GSPMD
+path; this module exists as the auditable communication-pattern oracle the
+GSPMD programs are validated against (tests/test_shard_map.py asserts
+loss/step equality with the single-device step on a CPU mesh).
 """
 
 from __future__ import annotations
@@ -125,7 +134,87 @@ def make_sharded_lookup_score_fn(model: KGEModel, mesh: Mesh, loss_type: str = "
             batch["row_valid"],
         )
 
+    fn.shard_fn = shard_fn  # raw shard_map function for jit-composed callers
     return fn
+
+
+def make_sharded_lookup_train_step(model: KGEModel, mesh: Mesh, loss_type: str = "bce"):
+    """Full explicit-collective training step for a full-vocab lookup model.
+
+    Forward/backward run through the shard_map loss above (the psum gathers
+    transpose into broadcasts, so each model shard receives exactly its
+    table slab's gradient); the Adagrad update then runs shard-locally on
+    the slab + its identically-sharded accumulator — no further collectives.
+
+    Returns ``step(params, opt_state, hp, batch) -> (params, opt_state,
+    loss_sum)`` where ``params = {"entity_embedding" [E_pad sharded P(model)],
+    "relation_embedding" [R, d] replicated}`` and opt_state holds matching
+    Adagrad accumulators plus a step counter.  Use :func:`prepare_sharded_params`
+    to build them from a model's variables.
+    """
+    M = mesh.shape[MODEL_AXIS]
+    E = model.meta.entities_size
+    E_pad = -(-E // M) * M
+    shard_fn = make_sharded_lookup_score_fn(model, mesh, loss_type).shard_fn
+
+    ent_sh = NamedSharding(mesh, P(MODEL_AXIS))
+    rep = NamedSharding(mesh, P())
+
+    def prepare_batch(batch: Dict) -> Dict:
+        """Host side: re-bucket positives per data shard once per batch."""
+        pos_r, pos_c = _shard_positives_by_row(batch, mesh)
+        return {
+            "ent_ids": batch["ent_ids"], "rel_ids": batch["rel_ids"],
+            "is_sp": batch["is_sp"], "row_valid": batch["row_valid"],
+            "pos_rows": pos_r, "pos_cols": pos_c,
+            "normalizer_loss": batch["normalizer_loss"],
+        }
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, hp, batch):
+        def backward(ent, rel):
+            loss_sum = shard_fn(
+                ent, rel, batch["ent_ids"], batch["rel_ids"], batch["is_sp"],
+                batch["pos_rows"], batch["pos_cols"], batch["row_valid"],
+            )
+            return loss_sum / batch["normalizer_loss"], loss_sum
+
+        (_, loss_sum), (g_ent, g_rel) = jax.value_and_grad(
+            backward, argnums=(0, 1), has_aux=True
+        )(params["entity_embedding"], params["relation_embedding"])
+
+        def adagrad(p, g, acc):
+            g = g + hp["weight_decay"] * p
+            acc = acc + g * g
+            clr = hp["lr"] / (1.0 + (opt_state["step"]) * hp["lr_decay"])
+            return p - clr * g / (jnp.sqrt(acc) + hp["eps"]), acc
+
+        new_ent, acc_ent = adagrad(params["entity_embedding"], g_ent, opt_state["ent"])
+        new_rel, acc_rel = adagrad(params["relation_embedding"], g_rel, opt_state["rel"])
+        new_params = {"entity_embedding": new_ent, "relation_embedding": new_rel}
+        new_opt = {"ent": acc_ent, "rel": acc_rel, "step": opt_state["step"] + 1.0}
+        return new_params, new_opt, loss_sum
+
+    def prepare(variables):
+        ent = variables["params"]["entity_embedding"]
+        if E_pad != E:
+            ent = jnp.pad(ent, ((0, E_pad - ent.shape[0]), (0, 0)))
+        params = {
+            "entity_embedding": jax.device_put(ent, ent_sh),
+            "relation_embedding": jax.device_put(
+                variables["params"]["relation_embedding"], rep
+            ),
+        }
+        opt_state = {
+            "ent": jax.device_put(jnp.zeros_like(params["entity_embedding"]), ent_sh),
+            "rel": jax.device_put(
+                jnp.zeros_like(params["relation_embedding"]), rep
+            ),
+            "step": jnp.zeros((), jnp.float32),
+        }
+        return params, opt_state
+
+    return step, prepare, prepare_batch
 
 
 def _shard_positives_by_row(batch: Dict, mesh: Mesh):
