@@ -280,7 +280,7 @@ def bench_segments():
 
     fwd = jax.jit(loss_fn)
     bwd = jax.jit(jax.grad(loss_fn))
-    opt = jax.jit(lambda g, s, p, h: apply_updates(g, s, p, h), donate_argnums=(1,))
+    opt = jax.jit(lambda g, s, p, h: apply_updates(g, s, p, h))
 
     def timeit(fn, *args, iters=10):
         out = fn(*args)
@@ -295,9 +295,67 @@ def bench_segments():
     t_fwd = timeit(fwd, p, s, bufs, k)
     t_bwd = timeit(bwd, p, s, bufs, k)
     grads = bwd(p, s, bufs, k)
-    t_opt = timeit(lambda g: opt(g, regimes.init_state(p), p, hp), grads, iters=5)
+    state0 = regimes.init_state(p)
+    t_opt = timeit(lambda g: opt(g, state0, p, hp), grads, iters=5)
     return {"forward_ms": t_fwd * 1e3, "forward_backward_ms": t_bwd * 1e3,
             "optimizer_ms": t_opt * 1e3}
+
+
+def bench_lookup_scaling():
+    """Lookup-table training with row-sparse updates at two vocabulary
+    scales: step time must NOT scale with the table height (the dense path
+    does — its optimizer walks the whole table every step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _synthetic_meta
+    from open_knowledge_graph_embeddings_tpu.data.batching import Batch
+    from open_knowledge_graph_embeddings_tpu.models.model import build_model
+    from open_knowledge_graph_embeddings_tpu.train.sparse import (
+        SparsePlanBuilder,
+        make_sparse_train_step,
+    )
+    from open_knowledge_graph_embeddings_tpu.train.step import make_train_step
+
+    out = {}
+    rng = np.random.default_rng(0)
+    for label, E, sparse in (
+        ("dense_500k", 500_000, False),
+        ("sparse_500k", 500_000, True),
+        ("sparse_2.47M", 2_470_000, True),
+    ):
+        meta = _synthetic_meta(E, RELATIONS, 64, 64, MAX_LEN)
+        model = build_model(
+            "LookupComplexRelationModel", meta, entity_slot_size=D, init_std=0.1,
+            sparse=sparse, dtype=os.environ.get("OKET_BENCH_DTYPE", "bfloat16"),
+        )
+        variables = model.init(jax.random.key(0))
+        regimes = _regimes()
+        opt_state = regimes.init_state(variables["params"])
+        hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
+        raw, P_real = build_batch(rng)
+        raw = dict(raw, ent_ids=rng.integers(2, E, BATCH).astype(np.int32),
+                   candidate_ids=rng.integers(2, E, CANDS).astype(np.int32))
+        b = Batch(
+            ent_ids=raw["ent_ids"], rel_ids=raw["rel_ids"], is_sp=raw["is_sp"],
+            row_valid=raw["row_valid"], num_rows=BATCH,
+            candidate_ids=raw["candidate_ids"], col_valid=raw["col_valid"],
+            num_cols=CANDS, cand_offset=2,
+            pos_rows=raw["pos_rows"], pos_cols=raw["pos_cols"],
+            normalizer_loss=float(raw["normalizer_loss"]),
+        )
+        if sparse:
+            plan = SparsePlanBuilder(model.embedder, entity_sparse=True)
+            batch = {k: jnp.asarray(v) for k, v in plan(b).items()}
+            step = make_sparse_train_step(
+                model, regimes, variables["params"], entity_sparse=True
+            )
+        else:
+            batch = {k: jnp.asarray(v) for k, v in raw.items()}
+            step = make_train_step(model, regimes, variables["params"])
+        dt, _ = _time_steps(step, variables, opt_state, hp, batch, iters=10)
+        out[label] = {"step_ms": round(dt * 1e3, 2), "items_per_sec": round(P_real / dt, 1)}
+    return out
 
 
 def bench_full_vocab_train():
@@ -488,6 +546,7 @@ def main():
             "items_per_sec": round(items_sp, 1), "step_ms": round(step_sp * 1e3, 2),
         }
         rep["segments"] = {k: round(v, 2) for k, v in bench_segments().items()}
+        rep["lookup_scaling"] = bench_lookup_scaling()
         rep["full_vocab_train"] = {
             k: (round(v, 3) if isinstance(v, float) else v)
             for k, v in bench_full_vocab_train().items()

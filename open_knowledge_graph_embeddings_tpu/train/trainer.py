@@ -152,7 +152,7 @@ class Trainer:
             else:
                 self._sparse_plan = SparsePlanBuilder(
                     model.embedder, entity_sparse,
-                    min_rows_ratio=float(args.get("sparse_min_ratio", 2.0)),
+                    min_rows_ratio=float(args.get("sparse_min_ratio", 12.0)),
                 )
                 logger.info(
                     "row-sparse updates for tables %s (entity_sparse=%s)",
