@@ -84,6 +84,10 @@ def _ref_inputs_from_batch(batch, num_cols):
 
 @pytest.fixture(scope="module")
 def setup():
+    # earlier test files consume torch's global RNG; without this the
+    # reference init (and hence the chaotic wd-only Adagrad rows, see the
+    # final-table tolerance note below) depends on suite order
+    torch.manual_seed(0)
     ours_ds = OneToNMentionRelationDataset(
         dataset_dir=FB, input_file="valid.txt", is_training_data=True, batch_size=B,
     )
