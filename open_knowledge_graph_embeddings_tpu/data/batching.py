@@ -354,12 +354,26 @@ class BatchBuilder:
     def _pack_positives(self, row_ment: List[np.ndarray], translate) -> Tuple[np.ndarray, np.ndarray]:
         lens = np.array([len(m) for m in row_ment], dtype=np.int64)
         total = int(lens.sum())
+        rows = cols = None
+        if total:
+            rows = np.repeat(np.arange(len(row_ment), dtype=np.int32), lens)
+            cols = translate(np.concatenate(row_ment).astype(np.int64)).astype(np.int32)
+            # dedup (row, col) pairs: the reference's dense label scatter
+            # collapses duplicates to 1, and the indexed BCE loss
+            # (train/loss.py bce_with_logits_sum_indexed) relies on pairs
+            # being unique to reproduce that collapse without a label matrix
+            pair = rows.astype(np.int64) << 32 | (cols.astype(np.int64) & 0xFFFFFFFF)
+            keep = np.unique(pair, return_index=True)[1]
+            if len(keep) != total:
+                keep.sort()
+                rows, cols = rows[keep], cols[keep]
+                total = len(keep)
         P = next_bucket(total, minimum=self.pos_bucket_min)
         pos_rows = np.full(P, PAD_COL, dtype=np.int32)
         pos_cols = np.full(P, PAD_COL, dtype=np.int32)
         if total:
-            pos_rows[:total] = np.repeat(np.arange(len(row_ment), dtype=np.int32), lens)
-            pos_cols[:total] = translate(np.concatenate(row_ment).astype(np.int64)).astype(np.int32)
+            pos_rows[:total] = rows
+            pos_cols[:total] = cols
         return pos_rows, pos_cols
 
     def _attach_eval(self, batch: Batch, item_ids, translate, n_rows: int) -> None:

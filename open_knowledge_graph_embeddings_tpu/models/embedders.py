@@ -118,6 +118,51 @@ def _pad_stop_gradient(emb: jax.Array, toks: jax.Array) -> jax.Array:
     return jnp.where(is_pad, jax.lax.stop_gradient(emb), emb)
 
 
+def token_gather_tm(table: jax.Array, toks: jax.Array, cdtype, stop_pad_grad: bool = False) -> jax.Array:
+    """``table[toks].astype(cdtype)`` with a layout-aware backward.
+
+    The value equals a plain gather, but the VJP scatters the cotangent in
+    *time-major* order: the sequence encoders (LSTM kernels, the hoisted
+    input-projection einsum) produce/consume [L, B, d]-contiguous tensors,
+    so the cotangent of the [B, L, d] gather arrives time-major and XLA's
+    default batch-major scatter forces a full relayout copy of the
+    [B*L, d] gradient first (measured 1.3 ms/step at flagship shapes —
+    copy+reshape of f32[8192,10,512]).  Scattering ``swapaxes(ct, 0, 1)``
+    with time-major-flattened ids is a pure bitcast instead: a scatter-add
+    is order-independent.
+
+    PAD handling: pad ids are remapped out of range and dropped by the
+    scatter (torch padding_idx semantics, same effect as
+    :func:`_pad_stop_gradient`).  ``stop_pad_grad`` additionally blocks the
+    pad rows in the *forward* value's gradient path — only meaningful for
+    encoders where pad values reach the loss (sum-pool + batchnorm).
+    """
+    V = table.shape[0]
+
+    @jax.custom_vjp
+    def gather(tbl):
+        emb = tbl[toks].astype(cdtype)
+        return _pad_stop_gradient(emb, toks) if stop_pad_grad else emb
+
+    def fwd(tbl):
+        return gather(tbl), None
+
+    def bwd(_, ct):
+        d = ct.shape[-1]
+        ct_tm = jnp.swapaxes(ct, 0, 1).reshape(-1, d)
+        ids = jnp.swapaxes(toks, 0, 1).reshape(-1)
+        ids = jnp.where(ids == PAD, jnp.int32(V), ids)  # out of range -> dropped
+        dtable = (
+            jnp.zeros((V, d), jnp.float32)
+            .at[ids]
+            .add(ct_tm.astype(jnp.float32), mode="drop")
+        )
+        return (dtable,)
+
+    gather.defvjp(fwd, bwd)
+    return gather(table)
+
+
 class Embedder:
     """Interface shared by all embedder families."""
 
@@ -579,7 +624,7 @@ class LSTMEmbedder(TokenEmbedderBase):
 
     def _compose(self, variables, ids, kind, table_name, lstm_name, bn_name, proj, dropout, train, rng):
         toks = self._tokens(variables, ids, kind)  # [B, L]
-        emb = variables["params"][table_name][toks].astype(self._cdtype)  # [B, L, d]
+        emb = token_gather_tm(variables["params"][table_name], toks, self._cdtype)  # [B, L, d]
         lengths = jnp.sum((toks > 0).astype(jnp.int32), axis=1)
         out = lstm_forward(variables["params"][lstm_name], emb)
         idx = jnp.clip(lengths - 1, 0, toks.shape[1] - 1)

@@ -55,6 +55,42 @@ def bce_with_logits_sum(scores: jax.Array, labels: jax.Array, mask: jax.Array) -
     return jnp.sum(jnp.where(mask, per_cell, 0.0))
 
 
+def bce_with_logits_sum_indexed(
+    scores: jax.Array,
+    pos_rows: jax.Array,
+    pos_cols: jax.Array,
+    mask: jax.Array,
+    n_real_cols: jax.Array,
+    smoothing: float,
+) -> jax.Array:
+    """BCE-with-logits sum without materializing the dense label matrix.
+
+    With deduplicated positive pairs (BatchBuilder guarantees this), the
+    label of a cell is ``multi_hot * a + b`` where ``a = 1 - smoothing`` and
+    ``b = (1 - smoothing) / N`` (``a=1, b=0`` when smoothing is off), so
+
+        loss = sum_mask[ max(s,0) + log1p(e^-|s|) - b*s ] - a * sum_pos s.
+
+    Saves the [B, N] f32 label scatter + relayout in the forward (~1 ms/step
+    at flagship 4096x4096) and replaces the dense label read in the backward
+    with an in-place 8k-element scatter into the elementwise gradient."""
+    if smoothing > 0:
+        a = 1.0 - smoothing
+        b = (1.0 - smoothing) / n_real_cols
+        per_cell = (
+            jnp.maximum(scores, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(scores))) - scores * b
+        )
+    else:
+        a = 1.0
+        per_cell = jnp.maximum(scores, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(scores)))
+    base = jnp.sum(jnp.where(mask, per_cell, 0.0))
+    valid = pos_rows >= 0
+    r = jnp.where(valid, pos_rows, 0)
+    c = jnp.where(valid, pos_cols, 0)
+    s_pos = jnp.where(valid, scores[r, c], 0.0)
+    return base - a * jnp.sum(s_pos)
+
+
 def kl_div_sum(scores: jax.Array, labels: jax.Array, mask: jax.Array) -> jax.Array:
     """torch KLDivLoss(reduction='sum')(log_softmax(scores), labels):
     sum labels * (log labels - log_softmax(scores)), with 0*log0 = 0.
@@ -79,13 +115,16 @@ def one_vs_n_loss(
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (loss_sum, normalizer_metric = number of positive cells)."""
     B, N = scores.shape
-    labels = dense_labels(pos_rows, pos_cols, B, N)
     mask = cell_mask(row_valid, col_valid, N)
-    normalizer_metric = jnp.sum(jnp.where(mask, labels, 0.0))
+    # BatchBuilder dedups (row, col) pairs, so the multi-hot count is the
+    # valid-pair count and the label matrix never needs materializing for BCE
+    normalizer_metric = jnp.sum((pos_rows >= 0).astype(jnp.float32))
     if loss_type == "bce":
-        labels = apply_label_smoothing(labels, n_real_cols, label_smoothing)
-        loss = bce_with_logits_sum(scores, labels, mask)
+        loss = bce_with_logits_sum_indexed(
+            scores, pos_rows, pos_cols, mask, n_real_cols, label_smoothing
+        )
     elif loss_type == "kl":
+        labels = dense_labels(pos_rows, pos_cols, B, N)
         loss = kl_div_sum(scores, labels, mask)
     else:
         raise NotImplementedError(
