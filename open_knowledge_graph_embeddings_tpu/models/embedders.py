@@ -47,7 +47,7 @@ import numpy as np
 
 from open_knowledge_graph_embeddings_tpu.data.dataset import DatasetMeta
 from open_knowledge_graph_embeddings_tpu.data.vocab import PAD
-from open_knowledge_graph_embeddings_tpu.ops.lstm import init_lstm_params, lstm_forward
+from open_knowledge_graph_embeddings_tpu.ops.lstm import init_lstm_params, lstm_forward_tm
 from open_knowledge_graph_embeddings_tpu.ops.norm import apply_batchnorm, init_batchnorm
 
 Variables = Dict[str, Any]
@@ -118,18 +118,22 @@ def _pad_stop_gradient(emb: jax.Array, toks: jax.Array) -> jax.Array:
     return jnp.where(is_pad, jax.lax.stop_gradient(emb), emb)
 
 
-def token_gather_tm(table: jax.Array, toks: jax.Array, cdtype, stop_pad_grad: bool = False) -> jax.Array:
+def token_gather_tm(
+    table: jax.Array, toks: jax.Array, cdtype,
+    stop_pad_grad: bool = False, time_major: bool = False,
+) -> jax.Array:
     """``table[toks].astype(cdtype)`` with a layout-aware backward.
 
     The value equals a plain gather, but the VJP scatters the cotangent in
     *time-major* order: the sequence encoders (LSTM kernels, the hoisted
     input-projection einsum) produce/consume [L, B, d]-contiguous tensors,
-    so the cotangent of the [B, L, d] gather arrives time-major and XLA's
+    so the cotangent of a batch-major gather arrives time-major and XLA's
     default batch-major scatter forces a full relayout copy of the
     [B*L, d] gradient first (measured 1.3 ms/step at flagship shapes —
     copy+reshape of f32[8192,10,512]).  Scattering ``swapaxes(ct, 0, 1)``
     with time-major-flattened ids is a pure bitcast instead: a scatter-add
-    is order-independent.
+    is order-independent.  With ``time_major=True`` ``toks`` is already
+    [L, B] and the cotangent flattens with no axis swap at all.
 
     PAD handling: pad ids are remapped out of range and dropped by the
     scatter (torch padding_idx semantics, same effect as
@@ -149,8 +153,12 @@ def token_gather_tm(table: jax.Array, toks: jax.Array, cdtype, stop_pad_grad: bo
 
     def bwd(_, ct):
         d = ct.shape[-1]
-        ct_tm = jnp.swapaxes(ct, 0, 1).reshape(-1, d)
-        ids = jnp.swapaxes(toks, 0, 1).reshape(-1)
+        if time_major:
+            ct_tm = ct.reshape(-1, d)
+            ids = toks.reshape(-1)
+        else:
+            ct_tm = jnp.swapaxes(ct, 0, 1).reshape(-1, d)
+            ids = jnp.swapaxes(toks, 0, 1).reshape(-1)
         ids = jnp.where(ids == PAD, jnp.int32(V), ids)  # out of range -> dropped
         dtable = (
             jnp.zeros((V, d), jnp.float32)
@@ -623,12 +631,18 @@ class LSTMEmbedder(TokenEmbedderBase):
         return {"params": params, "state": state, "buffers": buffers}
 
     def _compose(self, variables, ids, kind, table_name, lstm_name, bn_name, proj, dropout, train, rng):
-        toks = self._tokens(variables, ids, kind)  # [B, L]
-        emb = token_gather_tm(variables["params"][table_name], toks, self._cdtype)  # [B, L, d]
-        lengths = jnp.sum((toks > 0).astype(jnp.int32), axis=1)
-        out = lstm_forward(variables["params"][lstm_name], emb)
-        idx = jnp.clip(lengths - 1, 0, toks.shape[1] - 1)
-        x = jnp.take_along_axis(out, idx[:, None, None], axis=1)[:, 0, :]
+        # the whole sequence path is time-major [L, B, .]: gather, input
+        # projection, recurrence and last-state select all consume/produce
+        # [L, B]-contiguous tensors, so no batch-major relayout copies appear
+        # in the forward or backward graph
+        toks_tm = self._tokens(variables, ids, kind).T  # [L, B]
+        emb_tm = token_gather_tm(
+            variables["params"][table_name], toks_tm, self._cdtype, time_major=True
+        )  # [L, B, d]
+        lengths = jnp.sum((toks_tm > 0).astype(jnp.int32), axis=0)
+        out_tm = lstm_forward_tm(variables["params"][lstm_name], emb_tm)  # [L, B, H]
+        idx = jnp.clip(lengths - 1, 0, toks_tm.shape[0] - 1)
+        x = jnp.take_along_axis(out_tm, idx[None, :, None], axis=0)[0]
         if self.encoder_activation:
             x = getattr(jax.nn, {"ReLU": "relu", "Tanh": "tanh"}.get(
                 self.encoder_activation, self.encoder_activation.lower()))(x)

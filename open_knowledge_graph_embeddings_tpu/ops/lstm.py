@@ -35,19 +35,24 @@ def init_lstm_params(rng: jax.Array, input_size: int, hidden_size: int) -> Dict[
     }
 
 
-def lstm_forward(params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
-    """Run the LSTM over ``x`` [B, L, D] -> outputs [B, L, H].
+def lstm_forward_tm(params: Dict[str, jax.Array], x_tm: jax.Array) -> jax.Array:
+    """Run the LSTM over time-major ``x_tm`` [L, B, D] -> outputs [L, B, H].
 
-    Zero initial state, batch-first, single layer (the reference always uses
-    one layer, where torch's inter-layer dropout is a no-op).
+    The whole sequence path (token gather -> input projection -> recurrence
+    -> last-state select) runs time-major: every tensor is [L, B, ·]
+    contiguous, so no batch-major relayout copies appear anywhere in the
+    forward or backward graph.
+
+    Zero initial state, single layer (the reference always uses one layer,
+    where torch's inter-layer dropout is a no-op).
 
     Mixed precision: matmul operands are cast to ``x.dtype`` (bf16 when the
     embedder runs in bf16 — one MXU pass instead of the 3-pass f32 emulation),
     gate math and the cell state stay float32.
     """
-    B, L, _ = x.shape
+    L, B, _ = x_tm.shape
     H = params["w_hh"].shape[1]
-    dtype = x.dtype
+    dtype = x_tm.dtype
     w_ih_t = params["w_ih"].T.astype(dtype)  # [D, 4H]
     w_hh_t = params["w_hh"].T.astype(dtype)  # [H, 4H]
     bias = (params["b_ih"] + params["b_hh"]).astype(jnp.float32)
@@ -57,22 +62,20 @@ def lstm_forward(params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
         pallas_supported,
     )
 
-    if pallas_supported(B, L, H):
-        # time-major input projection feeds the fused Pallas recurrence;
-        # carried in the compute dtype (bf16 halves the HBM traffic of the
-        # largest sequence tensor; gate math inside the kernel is f32)
-        x_proj_tm = (
-            jnp.einsum("bld,dh->lbh", x, w_ih_t, preferred_element_type=jnp.float32) + bias
-        ).astype(dtype)
-        return jnp.swapaxes(lstm_scan_pallas(x_proj_tm, w_hh_t), 0, 1).astype(dtype)
+    # Hoist the input projection out of the recurrence: one big
+    # [L*B, D]x[D, 4H] MXU matmul instead of L small ones.
+    x_proj_tm = (
+        jnp.einsum("lbd,dh->lbh", x_tm, w_ih_t, preferred_element_type=jnp.float32) + bias
+    ).astype(dtype)
 
-    # Hoist the input projection out of the scan: one big [B*L, D]x[D, 4H]
-    # MXU matmul instead of L small ones.
-    x_proj = jnp.einsum("bld,dh->blh", x, w_ih_t, preferred_element_type=jnp.float32) + bias
+    if pallas_supported(B, L, H):
+        return lstm_scan_pallas(x_proj_tm, w_hh_t).astype(dtype)
 
     def step(carry, xp_t):
         h, c = carry
-        gates = xp_t + jnp.dot(h.astype(dtype), w_hh_t, preferred_element_type=jnp.float32)
+        gates = xp_t.astype(jnp.float32) + jnp.dot(
+            h.astype(dtype), w_hh_t, preferred_element_type=jnp.float32
+        )
         i, f, g, o = jnp.split(gates, 4, axis=-1)
         i = jax.nn.sigmoid(i)
         f = jax.nn.sigmoid(f)
@@ -80,12 +83,17 @@ def lstm_forward(params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
         o = jax.nn.sigmoid(o)
         c = f * c + i * g
         h = o * jnp.tanh(c)
-        return (h, c), h
+        return (h, c), h.astype(dtype)
 
     h0 = jnp.zeros((B, H), jnp.float32)
     c0 = jnp.zeros((B, H), jnp.float32)
-    (_, _), hs = jax.lax.scan(step, (h0, c0), jnp.swapaxes(x_proj, 0, 1))
-    return jnp.swapaxes(hs, 0, 1)
+    (_, _), hs = jax.lax.scan(step, (h0, c0), x_proj_tm)
+    return hs
+
+
+def lstm_forward(params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
+    """Batch-major wrapper: ``x`` [B, L, D] -> outputs [B, L, H]."""
+    return jnp.swapaxes(lstm_forward_tm(params, jnp.swapaxes(x, 0, 1)), 0, 1)
 
 
 def lstm_last_state(params: Dict[str, jax.Array], x: jax.Array, lengths: jax.Array) -> jax.Array:

@@ -113,14 +113,18 @@ def _bwd_kernel(
     dh_scr, dc_scr,
 ):
     t_rev = pl.program_id(1)
+    L = pl.num_programs(1)
 
     @pl.when(t_rev == 0)
     def _():
         dh_scr[:] = jnp.zeros_like(dh_scr)
         dc_scr[:] = jnp.zeros_like(dc_scr)
 
-    h_prev = hprev_ref[0]
-    c_prev = cprev_ref[0].astype(jnp.float32)
+    # hprev/cprev are views of hs/cs one step back in time (their BlockSpecs
+    # clamp t-1 to 0); at forward t == 0 the true previous state is zeros
+    first = (t_rev == L - 1).astype(jnp.float32)
+    h_prev = hprev_ref[0] * (1.0 - first).astype(hprev_ref.dtype)
+    c_prev = cprev_ref[0].astype(jnp.float32) * (1.0 - first)
     c_t = cs_ref[0].astype(jnp.float32)
 
     # recompute gate activations
@@ -171,12 +175,11 @@ def _lstm_bwd_pallas(
     TB = min(_pick_tile(B), 128)  # smaller tile: bwd streams 6 seq tensors
     grid = (B // TB, L)
 
-    # shifted residuals: h_prev[t] = hs[t-1] (zeros at t=0)
-    zeros = jnp.zeros((1, B, H), hs.dtype)
-    h_prev = jnp.concatenate([zeros, hs[:-1]], axis=0)
-    c_prev = jnp.concatenate([zeros, cs[:-1]], axis=0)
-
+    # h_prev/c_prev are the same hs/cs arrays viewed one step back in time
+    # (block index clamped at the sequence start; the kernel zero-masks the
+    # forward-t==0 step) — no shifted copies are materialized
     rev = lambda b, t: (L - 1 - t, b, 0)
+    rev_prev = lambda b, t: (jnp.maximum(L - 2 - t, 0), b, 0)
     dxp = pl.pallas_call(
         _bwd_kernel,
         grid=grid,
@@ -184,8 +187,8 @@ def _lstm_bwd_pallas(
             pl.BlockSpec((1, TB, H4), rev, memory_space=pltpu.VMEM),  # x_proj
             pl.BlockSpec((H, H4), lambda b, t: (0, 0), memory_space=pltpu.VMEM),  # w_hh
             pl.BlockSpec((1, TB, H), rev, memory_space=pltpu.VMEM),  # cs
-            pl.BlockSpec((1, TB, H), rev, memory_space=pltpu.VMEM),  # h_prev
-            pl.BlockSpec((1, TB, H), rev, memory_space=pltpu.VMEM),  # c_prev
+            pl.BlockSpec((1, TB, H), rev_prev, memory_space=pltpu.VMEM),  # hs[t-1]
+            pl.BlockSpec((1, TB, H), rev_prev, memory_space=pltpu.VMEM),  # cs[t-1]
             pl.BlockSpec((1, TB, H), rev, memory_space=pltpu.VMEM),  # dhs
         ],
         out_specs=pl.BlockSpec((1, TB, H4), rev, memory_space=pltpu.VMEM),  # dx_proj
@@ -194,11 +197,12 @@ def _lstm_bwd_pallas(
             pltpu.VMEM((TB, H), jnp.float32),
             pltpu.VMEM((TB, H), jnp.float32),
         ],
-    )(x_proj_tm, w_hh_t, cs, h_prev, c_prev, dhs)
-    # dW_hh = sum_t h_prev[t]^T dgates[t] — dx_proj IS dgates, so the weight
-    # gradient is one large static matmul XLA runs at peak off the kernel
+    )(x_proj_tm, w_hh_t, cs, hs, cs, dhs)
+    # dW_hh = sum_{t>=1} hs[t-1]^T dgates[t] — dx_proj IS dgates, so the
+    # weight gradient is one large static matmul XLA runs at peak off the
+    # kernel (the t==0 term vanishes because h_prev there is zeros)
     dw = jnp.einsum(
-        "lbh,lbg->hg", h_prev, dxp, preferred_element_type=jnp.float32
+        "lbh,lbg->hg", hs[:-1], dxp[1:], preferred_element_type=jnp.float32
     )
     return dxp, dw
 
