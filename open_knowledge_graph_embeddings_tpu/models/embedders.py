@@ -47,7 +47,12 @@ import numpy as np
 
 from open_knowledge_graph_embeddings_tpu.data.dataset import DatasetMeta
 from open_knowledge_graph_embeddings_tpu.data.vocab import PAD
-from open_knowledge_graph_embeddings_tpu.ops.lstm import init_lstm_params, lstm_forward_tm
+from open_knowledge_graph_embeddings_tpu.ops.lstm import (
+    init_lstm_params,
+    lstm_forward_tm,
+    lstm_forward_tm_sorted,
+    lstm_fused_supported,
+)
 from open_knowledge_graph_embeddings_tpu.ops.norm import apply_batchnorm, init_batchnorm
 
 Variables = Dict[str, Any]
@@ -636,13 +641,32 @@ class LSTMEmbedder(TokenEmbedderBase):
         # [L, B]-contiguous tensors, so no batch-major relayout copies appear
         # in the forward or backward graph
         toks_tm = self._tokens(variables, ids, kind).T  # [L, B]
+        L, B = toks_tm.shape
+        d_in = variables["params"][table_name].shape[1]
+        H = variables["params"][lstm_name]["w_hh"].shape[1]
+        fused = lstm_fused_supported(B, L, d_in, H)
+        if fused:
+            # sort rows by descending length so the rows active at time t
+            # are a batch prefix and the fused kernel can skip pad steps;
+            # the final states are unsorted back below (all ops after the
+            # LSTM are per-row, so the order is invisible downstream)
+            lengths_all = jnp.sum((toks_tm > 0).astype(jnp.int32), axis=0)
+            order = jnp.argsort(-lengths_all)
+            toks_tm = toks_tm[:, order]
         emb_tm = token_gather_tm(
             variables["params"][table_name], toks_tm, self._cdtype, time_major=True
         )  # [L, B, d]
         lengths = jnp.sum((toks_tm > 0).astype(jnp.int32), axis=0)
-        out_tm = lstm_forward_tm(variables["params"][lstm_name], emb_tm)  # [L, B, H]
+        if fused:
+            out_tm = lstm_forward_tm_sorted(
+                variables["params"][lstm_name], emb_tm, lengths
+            )
+        else:
+            out_tm = lstm_forward_tm(variables["params"][lstm_name], emb_tm)  # [L, B, H]
         idx = jnp.clip(lengths - 1, 0, toks_tm.shape[0] - 1)
         x = jnp.take_along_axis(out_tm, idx[None, :, None], axis=0)[0]
+        if fused:
+            x = x[jnp.argsort(order)]  # undo the length sort
         if self.encoder_activation:
             x = getattr(jax.nn, {"ReLU": "relu", "Tanh": "tanh"}.get(
                 self.encoder_activation, self.encoder_activation.lower()))(x)

@@ -96,6 +96,43 @@ def lstm_forward(params: Dict[str, jax.Array], x: jax.Array) -> jax.Array:
     return jnp.swapaxes(lstm_forward_tm(params, jnp.swapaxes(x, 0, 1)), 0, 1)
 
 
+def lstm_fused_supported(B: int, L: int, D: int, H: int) -> bool:
+    """Whether the length-aware fused Pallas encoder applies (TPU only)."""
+    import os
+
+    from open_knowledge_graph_embeddings_tpu.ops.pallas.lstm_kernel import (
+        pallas_supported,
+    )
+
+    if os.environ.get("OKET_DISABLE_LSTM_FUSED"):
+        return False
+    return D % 128 == 0 and pallas_supported(B, L, H)
+
+
+def lstm_forward_tm_sorted(
+    params: Dict[str, jax.Array], emb_tm: jax.Array, lengths_sorted: jax.Array
+) -> jax.Array:
+    """Length-aware fused LSTM: ``emb_tm`` [L, B, D] rows sorted by
+    *descending* non-pad length -> outputs [L, B, H].
+
+    Skips whole (time, batch-tile) grid steps beyond each row's length —
+    positions a sequence never reaches hold unread garbage, which is exact
+    because their output cotangents are zero and their tokens are PAD
+    (see ops/pallas/lstm_kernel.py fused-kernel notes).  The input
+    projection and weight gradients are fused into the kernels, so pad
+    positions cost nothing anywhere in the LSTM.
+    """
+    from open_knowledge_graph_embeddings_tpu.ops.pallas.lstm_kernel import (
+        lstm_encode_fused,
+    )
+
+    dtype = emb_tm.dtype
+    w_ih_t = params["w_ih"].T.astype(dtype)
+    w_hh_t = params["w_hh"].T.astype(dtype)
+    bias = (params["b_ih"] + params["b_hh"]).astype(jnp.float32)
+    return lstm_encode_fused(emb_tm, w_ih_t, w_hh_t, bias, lengths_sorted).astype(dtype)
+
+
 def lstm_last_state(params: Dict[str, jax.Array], x: jax.Array, lengths: jax.Array) -> jax.Array:
     """Output at the last non-pad position per sequence.
 

@@ -244,3 +244,268 @@ def pallas_supported(B: int, L: int, H: int) -> bool:
         except Exception:
             return False
     return H % 128 == 0 and _pick_tile(B) >= 8
+
+
+# --------------------------------------- fused, length-aware encoder kernels
+#
+# The scan kernels above compute every (t, row) position — for padded token
+# sequences (mentions average far fewer tokens than max_length) roughly half
+# the LSTM FLOPs land on pads whose outputs are never read.  The fused
+# encoder exploits that: the caller sorts sequences by length (descending),
+# so the rows active at time t are a prefix of the batch, and a
+# scalar-prefetched per-step tile count lets whole (t, batch-tile) grid
+# steps skip both compute and DMA (block index maps clamp to the last
+# active step, which Pallas's pipeline recognizes as a revisit).
+#
+# The input projection (x @ W_ih^T + b) and the weight/bias gradients are
+# fused into the kernels too, so x_proj / dgates never round-trip HBM and
+# the dW matmuls also skip pad positions.  Gradient layout notes:
+#   dW accumulates in f32 VMEM across the whole grid (constant-index
+#   outputs), db accumulates per-row partial sums summed outside.
+#
+# Correctness of skipping: rows with length <= t have PAD tokens at
+# position t (tokens lead, pads trail — reference: openkge/model.py:969),
+# zero output cotangent there, and zero dgates; skipped demb blocks hold
+# garbage only at pad positions, which the token-table scatter drops by id.
+
+
+def _fused_fwd_kernel(ntl_ref, tmax_ref, bias_ref, emb_ref, wih_ref, whh_ref,
+                      hs_ref, cs_ref, h_scr, c_scr):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+
+    @pl.when(b < ntl_ref[t])
+    def _():
+        h = h_scr[:]
+        c = c_scr[:]
+        x = emb_ref[0]
+        gates = (
+            jnp.dot(x, wih_ref[:], preferred_element_type=jnp.float32)
+            + bias_ref[0]
+            + jnp.dot(h.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32)
+        )
+        H = h.shape[-1]
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        h_scr[:] = h
+        c_scr[:] = c
+        hs_ref[0] = h.astype(hs_ref.dtype)
+        cs_ref[0] = c.astype(cs_ref.dtype)
+
+
+def _fused_fwd(emb_tm, w_ih_t, w_hh_t, bias_row, ntiles, tmax):
+    L, B, D = emb_tm.shape
+    H4 = w_ih_t.shape[1]
+    H = H4 // 4
+    dt = emb_tm.dtype
+    TB = _pick_tile(B)
+    clamp = lambda b, t, ntl, tmx: (jnp.minimum(t, tmx[b] - 1), b, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B // TB, L),
+        in_specs=[
+            pl.BlockSpec((1, H4), lambda b, t, ntl, tmx: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, D), clamp, memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, H4), lambda b, t, ntl, tmx: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((H, H4), lambda b, t, ntl, tmx: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TB, H), clamp, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TB, H), clamp, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+        ],
+    )
+    hs, cs = pl.pallas_call(
+        _fused_fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((L, B, H), dt),
+            jax.ShapeDtypeStruct((L, B, H), dt),
+        ],
+    )(ntiles, tmax, bias_row, emb_tm, w_ih_t, w_hh_t)
+    return hs, cs
+
+
+def _fused_bwd_kernel(ntl_ref, tmax_ref, bias_ref, emb_ref, wih_ref, whh_ref,
+                      cs_ref, hprev_ref, cprev_ref, dhs_ref,
+                      demb_ref, dwih_ref, dwhh_ref, db_ref, dh_scr, dc_scr):
+    b = pl.program_id(0)
+    t_rev = pl.program_id(1)
+    L = pl.num_programs(1)
+    t = L - 1 - t_rev
+
+    @pl.when((b == 0) & (t_rev == 0))
+    def _():
+        dwih_ref[:] = jnp.zeros_like(dwih_ref)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    @pl.when(t == tmax_ref[b] - 1)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+
+    @pl.when(b < ntl_ref[t])
+    def _():
+        # at forward t == 0 the true previous state is zeros (the prev-view
+        # BlockSpecs clamp the block index to 0 there)
+        not_first = (t > 0).astype(jnp.float32)
+        x = emb_ref[0]
+        h_prev = hprev_ref[0] * not_first.astype(hprev_ref.dtype)
+        c_prev = cprev_ref[0].astype(jnp.float32) * not_first
+        c_t = cs_ref[0].astype(jnp.float32)
+
+        gates = (
+            jnp.dot(x, wih_ref[:], preferred_element_type=jnp.float32)
+            + bias_ref[0]
+            + jnp.dot(h_prev.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32)
+        )
+        H = c_t.shape[-1]
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+
+        dh = dh_scr[:] + dhs_ref[0].astype(jnp.float32)
+        tc = jnp.tanh(c_t)
+        do = dh * tc
+        dc = dc_scr[:] + dh * o * (1.0 - tc * tc)
+        di = dc * g
+        df = dc * c_prev
+        dg = dc * i
+        dc_prev = dc * f
+
+        dgates = jnp.concatenate(
+            [
+                di * i * (1.0 - i),
+                df * f * (1.0 - f),
+                dg * (1.0 - g * g),
+                do * o * (1.0 - o),
+            ],
+            axis=-1,
+        )
+        dg_lo = dgates.astype(wih_ref.dtype)
+        # demb = dgates @ W_ih^T   ([TB,4H] x [4H,D])
+        demb_ref[0] = jax.lax.dot_general(
+            dg_lo, wih_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(demb_ref.dtype)
+        # dh_prev = dgates @ W_hh^T
+        dh_scr[:] = jax.lax.dot_general(
+            dg_lo, whh_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dc_scr[:] = dc_prev
+        # weight grads accumulate in f32 across the whole grid
+        dwih_ref[:] += jax.lax.dot_general(
+            x, dg_lo, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwhh_ref[:] += jax.lax.dot_general(
+            h_prev, dg_lo, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db_ref[:] += dgates
+
+
+def _fused_bwd(emb_tm, w_ih_t, w_hh_t, bias_row, hs, cs, dhs, ntiles, tmax):
+    L, B, D = emb_tm.shape
+    H4 = w_ih_t.shape[1]
+    H = H4 // 4
+    dt = emb_tm.dtype
+    TB = min(_pick_tile(B), 128)
+    t_eff = lambda t, tmx, b: jnp.minimum(L - 1 - t, tmx[b] - 1)
+    rev = lambda b, t, ntl, tmx: (t_eff(t, tmx, b), b, 0)
+    rev_prev = lambda b, t, ntl, tmx: (jnp.maximum(t_eff(t, tmx, b) - 1, 0), b, 0)
+    const = lambda b, t, ntl, tmx: (0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B // TB, L),
+        in_specs=[
+            pl.BlockSpec((1, H4), const, memory_space=pltpu.VMEM),   # bias
+            pl.BlockSpec((1, TB, D), rev, memory_space=pltpu.VMEM),  # emb
+            pl.BlockSpec((D, H4), const, memory_space=pltpu.VMEM),   # w_ih
+            pl.BlockSpec((H, H4), const, memory_space=pltpu.VMEM),   # w_hh
+            pl.BlockSpec((1, TB, H), rev, memory_space=pltpu.VMEM),  # cs
+            pl.BlockSpec((1, TB, H), rev_prev, memory_space=pltpu.VMEM),  # hs[t-1]
+            pl.BlockSpec((1, TB, H), rev_prev, memory_space=pltpu.VMEM),  # cs[t-1]
+            pl.BlockSpec((1, TB, H), rev, memory_space=pltpu.VMEM),  # dhs
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TB, D), rev, memory_space=pltpu.VMEM),  # demb
+            pl.BlockSpec((D, H4), const, memory_space=pltpu.VMEM),   # dW_ih
+            pl.BlockSpec((H, H4), const, memory_space=pltpu.VMEM),   # dW_hh
+            pl.BlockSpec((TB, H4), lambda b, t, ntl, tmx: (0, 0), memory_space=pltpu.VMEM),  # db rows
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+        ],
+    )
+    demb, dwih, dwhh, db_rows = pl.pallas_call(
+        _fused_bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((L, B, D), dt),
+            jax.ShapeDtypeStruct((D, H4), jnp.float32),
+            jax.ShapeDtypeStruct((H, H4), jnp.float32),
+            jax.ShapeDtypeStruct((TB, H4), jnp.float32),
+        ],
+    )(ntiles, tmax, bias_row, emb_tm, w_ih_t, w_hh_t, cs, hs, cs, dhs)
+    return demb, dwih, dwhh, jnp.sum(db_rows, axis=0)
+
+
+def lstm_encode_fused(emb_tm, w_ih_t, w_hh_t, bias, lengths_sorted):
+    """Length-aware fused LSTM over descending-length-sorted sequences.
+
+    emb_tm [L, B, D] time-major token embeddings (rows sorted by descending
+    non-pad length), w_ih_t [D, 4H], w_hh_t [H, 4H], bias [4H] f32,
+    lengths_sorted [B] int32 -> hs [L, B, H] (positions at/after a row's
+    length hold unread garbage).
+    """
+    L, B, D = emb_tm.shape
+
+    def plan(TB):
+        lens = jnp.maximum(lengths_sorted, 1)
+        n_t = jnp.sum(lens[None, :] > jnp.arange(L)[:, None], axis=1)
+        ntiles = -(-n_t // TB)
+        tmax = jnp.sum(
+            ntiles[None, :] > jnp.arange(B // TB)[:, None], axis=1, dtype=jnp.int32
+        )
+        return ntiles.astype(jnp.int32), jnp.maximum(tmax, 1)
+
+    bias_row = bias.astype(jnp.float32).reshape(1, -1)
+
+    @jax.custom_vjp
+    def run(emb, wih, whh, brow):
+        ntl, tmx = plan(_pick_tile(B))
+        hs, _ = _fused_fwd(emb, wih, whh, brow, ntl, tmx)
+        return hs
+
+    def fwd(emb, wih, whh, brow):
+        ntl, tmx = plan(_pick_tile(B))
+        hs, cs = _fused_fwd(emb, wih, whh, brow, ntl, tmx)
+        return hs, (emb, wih, whh, brow, hs, cs)
+
+    def bwd(res, dhs):
+        emb, wih, whh, brow, hs, cs = res
+        ntl, tmx = plan(min(_pick_tile(B), 128))
+        demb, dwih, dwhh, db = _fused_bwd(emb, wih, whh, brow, hs, cs, dhs, ntl, tmx)
+        return demb, dwih.astype(wih.dtype), dwhh.astype(whh.dtype), db.reshape(1, -1)
+
+    run.defvjp(fwd, bwd)
+    return run(emb_tm, w_ih_t, w_hh_t, bias_row)

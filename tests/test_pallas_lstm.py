@@ -93,3 +93,72 @@ class TestPallasAdagrad:
         want_p = p - clr * g2 / (jnp.sqrt(want_acc) + eps)
         np.testing.assert_allclose(np.asarray(new_acc), np.asarray(want_acc), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(new_p), np.asarray(want_p), rtol=1e-5, atol=1e-6)
+
+
+class TestFusedLengthAwareLSTM:
+    """Length-aware fused encoder (interpreter mode on CPU): fwd value and
+    all gradients must match the plain scan + hoisted projection at active
+    positions; pad positions are garbage-by-design and excluded."""
+
+    def _setup(self):
+        rng = np.random.default_rng(1)
+        L, B, D = 5, 32, 128
+        params = lstm_mod.init_lstm_params(jax.random.key(0), D, D)
+        lens = np.sort(rng.integers(0, L + 1, B))[::-1].copy().astype(np.int32)
+        emb = jnp.asarray(rng.standard_normal((L, B, D)).astype(np.float32) * 0.3)
+        return L, B, D, params, jnp.asarray(lens), lens, emb
+
+    @staticmethod
+    def _select(out_tm, lens_j, L):
+        idx = jnp.clip(lens_j - 1, 0, L - 1)
+        return jnp.take_along_axis(out_tm, idx[None, :, None], axis=0)[0]
+
+    def test_fused_matches_scan(self):
+        L, B, D, params, lens_j, lens, emb = self._setup()
+
+        def loss_fused(p, x):
+            out = lstm_mod.lstm_forward_tm_sorted(p, x, lens_j)
+            return jnp.sum(self._select(out, lens_j, L) ** 2)
+
+        def loss_ref(p, x):
+            return jnp.sum(self._select(lstm_mod.lstm_forward_tm(p, x), lens_j, L) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            v1, (gp1, gx1) = jax.value_and_grad(loss_fused, argnums=(0, 1))(params, emb)
+        v2, (gp2, gx2) = jax.value_and_grad(loss_ref, argnums=(0, 1))(params, emb)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        for k in gp1:
+            np.testing.assert_allclose(
+                np.asarray(gp1[k]), np.asarray(gp2[k]), rtol=1e-4, atol=1e-5, err_msg=k
+            )
+        # demb: only positions < max(len, 1) are defined in the fused path
+        active = np.arange(L)[:, None] < np.maximum(lens, 1)[None, :]
+        a, b = np.asarray(gx1), np.asarray(gx2)
+        np.testing.assert_allclose(a[active], b[active], rtol=1e-4, atol=1e-5)
+
+    def test_compose_sort_is_invisible(self, toy_dataset_dir):
+        """The length sort inside LSTM _compose must not change encoder
+        outputs (forced fused path in interpreter mode vs plain path)."""
+        import os
+        from open_knowledge_graph_embeddings_tpu.data import OneToNMentionRelationDataset
+        from open_knowledge_graph_embeddings_tpu.models import build_model
+
+        tds = OneToNMentionRelationDataset(
+            dataset_dir=toy_dataset_dir, input_file="train.txt",
+            is_training_data=True, batch_size=4,
+        )
+        model = build_model(
+            "LSTMComplexRelationModel", tds.meta, entity_slot_size=128,
+        )
+        variables = model.init(jax.random.key(0))
+        ids = jnp.asarray((np.arange(8) % 6 + 2).astype(np.int32))
+        plain, _, _ = model.embedder.encode_entity(variables, ids)
+        import open_knowledge_graph_embeddings_tpu.models.embedders as emb_mod
+        orig = emb_mod.lstm_fused_supported
+        emb_mod.lstm_fused_supported = lambda *a: True
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                fused, _, _ = model.embedder.encode_entity(variables, ids)
+        finally:
+            emb_mod.lstm_fused_supported = orig
+        np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), rtol=1e-5, atol=1e-6)
