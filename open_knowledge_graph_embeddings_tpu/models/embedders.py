@@ -635,7 +635,9 @@ class LSTMEmbedder(TokenEmbedderBase):
         )
         return {"params": params, "state": state, "buffers": buffers}
 
-    def _compose(self, variables, ids, kind, table_name, lstm_name, bn_name, proj, dropout, train, rng):
+    def _lstm_states(self, variables, ids, kind, table_name, lstm_name):
+        """Token gather + LSTM recurrence + last-non-pad-state select for a
+        row batch; returns the raw [B, H] states (pre-norm/dropout)."""
         # the whole sequence path is time-major [L, B, .]: gather, input
         # projection, recurrence and last-state select all consume/produce
         # [L, B]-contiguous tensors, so no batch-major relayout copies appear
@@ -667,6 +669,11 @@ class LSTMEmbedder(TokenEmbedderBase):
         x = jnp.take_along_axis(out_tm, idx[None, :, None], axis=0)[0]
         if fused:
             x = x[jnp.argsort(order)]  # undo the length sort
+        return x
+
+    def _finish(self, variables, x, bn_name, proj, dropout, train, rng):
+        """Activation -> batchnorm -> (relation projection) -> dropout on
+        raw LSTM states; batch statistics see exactly the rows in ``x``."""
         if self.encoder_activation:
             x = getattr(jax.nn, {"ReLU": "relu", "Tanh": "tanh"}.get(
                 self.encoder_activation, self.encoder_activation.lower()))(x)
@@ -683,6 +690,37 @@ class LSTMEmbedder(TokenEmbedderBase):
             )
         x = _dropout(x, dropout, train, rng)
         return x.astype(self._cdtype), new_state, jnp.zeros((), jnp.float32)
+
+    def _compose(self, variables, ids, kind, table_name, lstm_name, bn_name, proj, dropout, train, rng):
+        x = self._lstm_states(variables, ids, kind, table_name, lstm_name)
+        return self._finish(variables, x, bn_name, proj, dropout, train, rng)
+
+    def encode_entity_pair(self, variables, ids_a, ids_b, *, train=False, rng_a=None, rng_b=None):
+        """Encode two entity id batches through ONE token-gather + LSTM pass.
+
+        Numerically identical to ``encode_entity(ids_a)`` followed by
+        ``encode_entity(ids_b)`` — the LSTM is per-row, and batchnorm /
+        dropout still run per group in that order (matching the reference's
+        two separate forward calls, openkge/trainer.py:76-82) — but the
+        gather, length sort and recurrence kernels launch once over the
+        concatenated rows.  Profile-driven: at flagship shapes the two
+        4096-row kernel pipelines cost ~1 ms/step more than one 8192-row
+        pipeline (see RESULTS.md round-2 roofline).
+        """
+        na = ids_a.shape[0]
+        x = self._lstm_states(
+            variables,
+            jnp.concatenate([ids_a, ids_b]),
+            "entity", "entity_token_embedding", "entity_lstm",
+        )
+        xa, state_a, reg_a = self._finish(
+            variables, x[:na], "entity_bn", False, self.entity_dropout, train, rng_a
+        )
+        vb = {**variables, "state": state_a}
+        xb, state_b, reg_b = self._finish(
+            vb, x[na:], "entity_bn", False, self.entity_dropout, train, rng_b
+        )
+        return xa, xb, state_b, reg_a + reg_b
 
     def encode_entity(self, variables, ids, *, is_sp=None, train=False, rng=None):
         return self._compose(

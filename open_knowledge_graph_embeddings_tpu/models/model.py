@@ -137,6 +137,27 @@ class KGEModel:
         r_cand = r_q = None
         if rng is not None:
             r_cand, r_q = jax.random.split(rng)
+        if (
+            cand_emb is None
+            and cand_ids is not None
+            and hasattr(self.embedder, "encode_entity_pair")
+        ):
+            # fuse the candidate and query-entity encodes into one LSTM pass
+            # (numerics unchanged: BN/dropout still run per group — see
+            # embedders.encode_entity_pair)
+            r_ent = r_rel = None
+            if r_q is not None:
+                r_ent, r_rel = jax.random.split(r_q)
+            cand_emb, e, state, reg_c = self.embedder.encode_entity_pair(
+                variables, cand_ids, ent_ids, train=train, rng_a=r_cand, rng_b=r_ent
+            )
+            variables = {**variables, "state": state}
+            r, state, reg_r = self.embedder.encode_relation(
+                variables, rel_ids, train=train, rng=r_rel
+            )
+            q = QUERY_FNS[self.scorer](e, self._relation_for_query(r), is_sp)
+            scores = scoring.score_against_candidates(q, cand_emb)
+            return scores, state, reg + reg_c + reg_r
         if cand_emb is None:
             cand_emb, state, reg_c = self.encode_candidates(
                 variables, cand_ids, train=train, rng=r_cand

@@ -162,3 +162,41 @@ class TestFusedLengthAwareLSTM:
         finally:
             emb_mod.lstm_fused_supported = orig
         np.testing.assert_allclose(np.asarray(fused), np.asarray(plain), rtol=1e-5, atol=1e-6)
+
+    def test_encode_entity_pair_matches_two_calls(self, toy_dataset_dir):
+        """encode_entity_pair (one fused LSTM pass over concat rows) must be
+        numerically identical to two sequential encode_entity calls —
+        including BN batch statistics and dropout draws."""
+        from open_knowledge_graph_embeddings_tpu.data import OneToNMentionRelationDataset
+        from open_knowledge_graph_embeddings_tpu.models import build_model
+
+        tds = OneToNMentionRelationDataset(
+            dataset_dir=toy_dataset_dir, input_file="train.txt",
+            is_training_data=True, batch_size=4,
+        )
+        model = build_model(
+            "LSTMComplexRelationModel", tds.meta, entity_slot_size=128,
+            dropout=0.25, normalize="batchnorm",
+        )
+        variables = model.init(jax.random.key(0))
+        ids_a = jnp.asarray((np.arange(8) % 6 + 2).astype(np.int32))
+        ids_b = jnp.asarray((np.arange(6)[::-1] % 6 + 2).astype(np.int32))
+        ra, rb = jax.random.split(jax.random.key(7))
+
+        xa0, state0, _ = model.embedder.encode_entity(
+            variables, ids_a, train=True, rng=ra
+        )
+        v1 = {**variables, "state": state0}
+        xb0, state1, _ = model.embedder.encode_entity(v1, ids_b, train=True, rng=rb)
+
+        xa, xb, state, _ = model.embedder.encode_entity_pair(
+            variables, ids_a, ids_b, train=True, rng_a=ra, rng_b=rb
+        )
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xa0), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(xb0), rtol=1e-5, atol=1e-6)
+        for k in ("mean", "var", "count"):
+            np.testing.assert_allclose(
+                np.asarray(state["entity_bn"][k]),
+                np.asarray(state1["entity_bn"][k]),
+                rtol=1e-5, atol=1e-7, err_msg=k,
+            )
