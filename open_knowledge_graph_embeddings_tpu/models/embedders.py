@@ -342,6 +342,18 @@ class LookupEmbedder(Embedder):
         by get_all_*; openkge/model.py:512-523)."""
         return self._encode_entity_repr(variables, rows, is_sp=is_sp, train=train, rng=rng)
 
+    def encode_entity_range(self, variables, start, stop, *, train=False, rng=None):
+        """Full-vocab candidate encode as a static table slice.
+
+        Equivalent to ``encode_entity(arange(start, stop))`` but the VJP is a
+        zero-pad instead of a (stop-start)-row scatter — profile-driven: at
+        E=100k the arange-gather's backward scatter alone cost 2.1 ms/step
+        (28%% of the 1-vs-all train step)."""
+        x = jax.lax.slice_in_dim(
+            variables["params"]["entity_embedding"], start, stop
+        ).astype(self._cdtype)
+        return self._encode_entity_repr(variables, x, is_sp=None, train=train, rng=rng)
+
     def _encode_entity_repr(self, variables, x, *, is_sp, train, rng):
         if self.project_entity:
             out, new_state, reg = self._encode(

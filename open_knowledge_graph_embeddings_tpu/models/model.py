@@ -117,6 +117,11 @@ class KGEModel:
         == encode_obj convention (openkge/model.py:76-77).
         """
         if cand_ids is None:
+            if hasattr(self.embedder, "encode_entity_range"):
+                return self.embedder.encode_entity_range(
+                    variables, self.meta.min_entities_size, self.meta.entities_size,
+                    train=train, rng=rng,
+                )
             cand_ids = jnp.arange(self.meta.min_entities_size, self.meta.entities_size)
         return self.embedder.encode_entity(variables, cand_ids, is_sp=None, train=train, rng=rng)
 
@@ -133,6 +138,29 @@ class KGEModel:
         rng: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Dict, jax.Array]:
         """[B, N] scores; encodes candidates unless ``cand_emb`` is given."""
+        q, cand_emb, state, reg = self.prefix_queries_and_candidates(
+            variables, ent_ids, rel_ids, is_sp, cand_ids, cand_emb,
+            train=train, rng=rng,
+        )
+        scores = scoring.score_against_candidates(q, cand_emb)
+        return scores, state, reg
+
+    def prefix_queries_and_candidates(
+        self,
+        variables: Variables,
+        ent_ids: jax.Array,
+        rel_ids: jax.Array,
+        is_sp: jax.Array,
+        cand_ids: Optional[jax.Array] = None,
+        cand_emb: Optional[jax.Array] = None,
+        *,
+        train: bool = False,
+        rng: Optional[jax.Array] = None,
+    ) -> Tuple[jax.Array, jax.Array, Dict, jax.Array]:
+        """Encode stage of :meth:`prefix_scores`: returns
+        ``(q [B, d], cand_emb [N, d], state, reg)`` without the score matmul,
+        so the train step can fuse scoring into the loss VJP
+        (train/loss.py bce_over_scores)."""
         reg = jnp.zeros((), jnp.float32)
         r_cand = r_q = None
         if rng is not None:
@@ -156,8 +184,7 @@ class KGEModel:
                 variables, rel_ids, train=train, rng=r_rel
             )
             q = QUERY_FNS[self.scorer](e, self._relation_for_query(r), is_sp)
-            scores = scoring.score_against_candidates(q, cand_emb)
-            return scores, state, reg + reg_c + reg_r
+            return q, cand_emb, state, reg + reg_c + reg_r
         if cand_emb is None:
             cand_emb, state, reg_c = self.encode_candidates(
                 variables, cand_ids, train=train, rng=r_cand
@@ -167,8 +194,7 @@ class KGEModel:
         q, state, reg_q = self.queries(
             variables, ent_ids, rel_ids, is_sp, train=train, rng=r_q
         )
-        scores = scoring.score_against_candidates(q, cand_emb)
-        return scores, state, reg + reg_q
+        return q, cand_emb, state, reg + reg_q
 
     def triple_score(
         self,

@@ -11,6 +11,7 @@ arithmetic exactly while keeping every shape static.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -55,6 +56,7 @@ def bce_with_logits_sum(scores: jax.Array, labels: jax.Array, mask: jax.Array) -
     return jnp.sum(jnp.where(mask, per_cell, 0.0))
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
 def bce_with_logits_sum_indexed(
     scores: jax.Array,
     pos_rows: jax.Array,
@@ -72,8 +74,15 @@ def bce_with_logits_sum_indexed(
         loss = sum_mask[ max(s,0) + log1p(e^-|s|) - b*s ] - a * sum_pos s.
 
     Saves the [B, N] f32 label scatter + relayout in the forward (~1 ms/step
-    at flagship 4096x4096) and replaces the dense label read in the backward
-    with an in-place 8k-element scatter into the elementwise gradient."""
+    at flagship 4096x4096).  The backward is hand-written (custom_vjp):
+    autograd would differentiate the positive-score gather into a scatter
+    that forces a physical relayout copy of the [B, N] gradient when XLA
+    keeps the scores column-major (measured 0.9 ms/step at B=512 N=100k);
+    here it is one elementwise expression plus an in-place scatter-add."""
+    return _bce_indexed_fwd(scores, pos_rows, pos_cols, mask, n_real_cols, smoothing)[0]
+
+
+def _bce_indexed_fwd(scores, pos_rows, pos_cols, mask, n_real_cols, smoothing):
     if smoothing > 0:
         a = 1.0 - smoothing
         b = (1.0 - smoothing) / n_real_cols
@@ -88,7 +97,104 @@ def bce_with_logits_sum_indexed(
     r = jnp.where(valid, pos_rows, 0)
     c = jnp.where(valid, pos_cols, 0)
     s_pos = jnp.where(valid, scores[r, c], 0.0)
-    return base - a * jnp.sum(s_pos)
+    loss = base - a * jnp.sum(s_pos)
+    return loss, (scores, pos_rows, pos_cols, mask, n_real_cols)
+
+
+def _bce_indexed_bwd(smoothing, res, ct):
+    scores, pos_rows, pos_cols, mask, n_real_cols = res
+    if smoothing > 0:
+        a = 1.0 - smoothing
+        b = (1.0 - smoothing) / n_real_cols
+    else:
+        a = 1.0
+        b = 0.0
+    # d/ds [max(s,0) + log1p(e^-|s|) - b*s] = sigmoid(s) - b
+    ds = jnp.where(mask, ct * (jax.nn.sigmoid(scores) - b), 0.0)
+    valid = pos_rows >= 0
+    r = jnp.where(valid, pos_rows, 0)
+    c = jnp.where(valid, pos_cols, 0)
+    ds = ds.at[r, c].add(jnp.where(valid, -a * ct, 0.0))
+    zf = jnp.zeros((), jnp.float32)
+    return ds, None, None, None, zf
+
+
+bce_with_logits_sum_indexed.defvjp(
+    lambda scores, pr, pc, mask, n, smoothing: _bce_indexed_fwd(
+        scores, pr, pc, mask, n, smoothing
+    ),
+    _bce_indexed_bwd,
+)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(7,))
+def bce_over_scores(
+    q: jax.Array,            # [B, d] query vectors (bf16 or f32)
+    cand: jax.Array,         # [N, d] candidate matrix
+    pos_rows: jax.Array,     # [P] int32, -1 padded
+    pos_cols: jax.Array,     # [P] int32, -1 padded
+    row_valid: jax.Array,    # [B] bool
+    col_valid: Optional[jax.Array],  # [N] bool or None (all real)
+    n_real_cols: jax.Array,  # f32 scalar
+    smoothing: float,
+) -> jax.Array:
+    """Fused ``loss = BCE_sum(q @ candᵀ)`` with a hand-written VJP.
+
+    Identical math to ``score_against_candidates`` + indexed BCE, but the
+    backward never scatters into the dense [B, N] score gradient: the
+    elementwise part ``ct·(σ(s) − b)·mask`` fuses straight into the two
+    gradient matmuls, and the positive-label term lands on dq/dcand as a
+    [P, d] gather/scatter-add in f32 (dq[r] -= a·ct·cand[c],
+    dcand[c] -= a·ct·q[r]).  Profile-driven: at B=512, N=100k the dense
+    route spent 1.2 ms/step on layout copies around a 1k-element scatter."""
+    return _bce_over_scores_fwd(
+        q, cand, pos_rows, pos_cols, row_valid, col_valid, n_real_cols, smoothing
+    )[0]
+
+
+def _bce_over_scores_fwd(q, cand, pos_rows, pos_cols, row_valid, col_valid, n_real_cols, smoothing):
+    from open_knowledge_graph_embeddings_tpu.ops.scoring import score_against_candidates
+
+    scores = score_against_candidates(q, cand)
+    mask = cell_mask(row_valid, col_valid, scores.shape[1])
+    loss, _ = _bce_indexed_fwd(scores, pos_rows, pos_cols, mask, n_real_cols, smoothing)
+    res = (q, cand, scores, pos_rows, pos_cols, row_valid, col_valid, n_real_cols)
+    return loss, res
+
+
+def _bce_over_scores_bwd(smoothing, res, ct):
+    q, cand, scores, pos_rows, pos_cols, row_valid, col_valid, n_real_cols = res
+    if smoothing > 0:
+        a = 1.0 - smoothing
+        b = (1.0 - smoothing) / n_real_cols
+    else:
+        a = 1.0
+        b = 0.0
+    mask = cell_mask(row_valid, col_valid, scores.shape[1])
+    # elementwise part of dscores — consumed only by the two dots below, so
+    # XLA fuses it into their operand reads and never materializes it
+    base = jnp.where(mask, ct * (jax.nn.sigmoid(scores) - b), 0.0)
+    dq = jax.lax.dot_general(
+        base, cand,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dcand = jax.lax.dot_general(
+        base, q,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    valid = pos_rows >= 0
+    r = jnp.where(valid, pos_rows, 0)
+    c = jnp.where(valid, pos_cols, 0)
+    w = jnp.where(valid, -a * ct, 0.0)[:, None]
+    dq = dq.at[r].add(w * cand[c].astype(jnp.float32))
+    dcand = dcand.at[c].add(w * q[r].astype(jnp.float32))
+    zf = jnp.zeros((), jnp.float32)
+    return (dq.astype(q.dtype), dcand.astype(cand.dtype), None, None, None, None, zf)
+
+
+bce_over_scores.defvjp(_bce_over_scores_fwd, _bce_over_scores_bwd)
 
 
 def kl_div_sum(scores: jax.Array, labels: jax.Array, mask: jax.Array) -> jax.Array:

@@ -49,12 +49,11 @@ from open_knowledge_graph_embeddings_tpu.models.model import KGEModel
 from open_knowledge_graph_embeddings_tpu.ops.pallas.scatter_adagrad_kernel import (
     scatter_adagrad,
 )
-from open_knowledge_graph_embeddings_tpu.train.loss import one_vs_n_loss
 from open_knowledge_graph_embeddings_tpu.train.optim import (
     OptimizerRegimes,
     assign_regimes,
 )
-from open_knowledge_graph_embeddings_tpu.train.step import train_batch_to_arrays
+from open_knowledge_graph_embeddings_tpu.train.step import prefix_loss, train_batch_to_arrays
 from open_knowledge_graph_embeddings_tpu.utils.misc import next_bucket
 
 SPARSE_CAPABLE_OPTIMIZERS = ("Adagrad", "SGD")
@@ -300,18 +299,11 @@ def make_sparse_train_step(
         valid = {t: batch[f"sparse/{t}/valid"] for t in sparse_tables}
         rows = {t: params[t][uids[t]] for t in sparse_tables}
         dense = {k: v for k, v in params.items() if k not in sparse_tables}
-        cand_ids = batch.get("candidate_ids")
-        col_valid = batch.get("col_valid")
 
         def loss_fn(rows, dense):
             v = {"params": {**dense, **rows}, "state": state, "buffers": buffers}
-            scores, new_state, reg = model.prefix_scores(
-                v, batch["ent_ids"], batch["rel_ids"], batch["is_sp"],
-                cand_ids=cand_ids, train=True, rng=rng,
-            )
-            loss_sum, norm_metric = one_vs_n_loss(
-                loss_type, scores, batch["pos_rows"], batch["pos_cols"],
-                batch["row_valid"], col_valid, batch["n_real_cols"], label_smoothing,
+            loss_sum, norm_metric, new_state, reg = prefix_loss(
+                model, v, batch, loss_type, label_smoothing, rng
             )
             backward = (loss_sum + reg) / batch["normalizer_loss"]
             return backward, (new_state, loss_sum, norm_metric)

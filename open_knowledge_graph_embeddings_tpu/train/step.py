@@ -28,8 +28,45 @@ from open_knowledge_graph_embeddings_tpu.train.evaluate import (
     metric_sums_from_ranks,
     ranks_from_scores,
 )
-from open_knowledge_graph_embeddings_tpu.train.loss import one_vs_n_loss
+from open_knowledge_graph_embeddings_tpu.train.loss import bce_over_scores, one_vs_n_loss
 from open_knowledge_graph_embeddings_tpu.train.optim import OptimizerRegimes
+
+
+def prefix_loss(
+    model: KGEModel,
+    variables,
+    batch,
+    loss_type: str,
+    label_smoothing: float,
+    rng,
+) -> Tuple[jax.Array, jax.Array, Dict]:
+    """(loss_sum, normalizer_metric, new_state, reg) for a train batch.
+
+    BCE uses the fused score+loss VJP (loss.bce_over_scores) so the dense
+    [B, N] score gradient is never scattered into; KL falls back to the
+    explicit scores + dense-label path."""
+    cand_ids = batch.get("candidate_ids")
+    col_valid = batch.get("col_valid")
+    if loss_type == "bce":
+        q, cand_emb, new_state, reg = model.prefix_queries_and_candidates(
+            variables, batch["ent_ids"], batch["rel_ids"], batch["is_sp"],
+            cand_ids=cand_ids, train=True, rng=rng,
+        )
+        loss_sum = bce_over_scores(
+            q, cand_emb, batch["pos_rows"], batch["pos_cols"],
+            batch["row_valid"], col_valid, batch["n_real_cols"], label_smoothing,
+        )
+        norm_metric = jnp.sum((batch["pos_rows"] >= 0).astype(jnp.float32))
+        return loss_sum, norm_metric, new_state, reg
+    scores, new_state, reg = model.prefix_scores(
+        variables, batch["ent_ids"], batch["rel_ids"], batch["is_sp"],
+        cand_ids=cand_ids, train=True, rng=rng,
+    )
+    loss_sum, norm_metric = one_vs_n_loss(
+        loss_type, scores, batch["pos_rows"], batch["pos_cols"],
+        batch["row_valid"], col_valid, batch["n_real_cols"], label_smoothing,
+    )
+    return loss_sum, norm_metric, new_state, reg
 
 
 def train_batch_to_arrays(batch: Batch) -> Dict[str, Any]:
@@ -74,29 +111,11 @@ def make_train_step(
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(variables, opt_state, hparams, batch, rng):
         state, buffers = variables["state"], variables["buffers"]
-        cand_ids = batch.get("candidate_ids")
-        col_valid = batch.get("col_valid")
 
         def loss_fn(params):
             v = {"params": params, "state": state, "buffers": buffers}
-            scores, new_state, reg = model.prefix_scores(
-                v,
-                batch["ent_ids"],
-                batch["rel_ids"],
-                batch["is_sp"],
-                cand_ids=cand_ids,
-                train=True,
-                rng=rng,
-            )
-            loss_sum, norm_metric = one_vs_n_loss(
-                loss_type,
-                scores,
-                batch["pos_rows"],
-                batch["pos_cols"],
-                batch["row_valid"],
-                col_valid,
-                batch["n_real_cols"],
-                label_smoothing,
+            loss_sum, norm_metric, new_state, reg = prefix_loss(
+                model, v, batch, loss_type, label_smoothing, rng
             )
             backward = (loss_sum + reg) / batch["normalizer_loss"]
             return backward, (new_state, loss_sum, norm_metric)
@@ -137,18 +156,11 @@ def make_accum_steps(
     @partial(jax.jit, donate_argnums=(0, 1))
     def grad_step(variables, acc_grads, batch, rng):
         state, buffers = variables["state"], variables["buffers"]
-        cand_ids = batch.get("candidate_ids")
-        col_valid = batch.get("col_valid")
 
         def loss_fn(params):
             v = {"params": params, "state": state, "buffers": buffers}
-            scores, new_state, reg = model.prefix_scores(
-                v, batch["ent_ids"], batch["rel_ids"], batch["is_sp"],
-                cand_ids=cand_ids, train=True, rng=rng,
-            )
-            loss_sum, norm_metric = one_vs_n_loss(
-                loss_type, scores, batch["pos_rows"], batch["pos_cols"],
-                batch["row_valid"], col_valid, batch["n_real_cols"], label_smoothing,
+            loss_sum, norm_metric, new_state, reg = prefix_loss(
+                model, v, batch, loss_type, label_smoothing, rng
             )
             backward = (loss_sum + reg) / batch["normalizer_loss"]
             return backward, (new_state, loss_sum, norm_metric)

@@ -2,8 +2,10 @@
 label smoothing arithmetic)."""
 
 import numpy as np
+import pytest
 import torch
 
+import jax
 import jax.numpy as jnp
 
 from open_knowledge_graph_embeddings_tpu.train.loss import (
@@ -74,3 +76,57 @@ def test_dense_labels_collapse_duplicates():
     lab = dense_labels(jnp.asarray([0, 0, 1]), jnp.asarray([3, 3, 2]), 2, 5)
     assert float(lab.sum()) == 2.0
     assert lab[0, 3] == 1.0 and lab[1, 2] == 1.0
+
+
+class TestFusedBceOverScores:
+    """bce_over_scores (fused score+loss custom VJP) must match the explicit
+    score_against_candidates + one_vs_n_loss path in value and gradients."""
+
+    @pytest.mark.parametrize("smoothing", [0.0, 0.1])
+    @pytest.mark.parametrize("with_col_valid", [False, True])
+    def test_value_and_grads_match(self, smoothing, with_col_valid):
+        from open_knowledge_graph_embeddings_tpu.ops.scoring import (
+            score_against_candidates,
+        )
+        from open_knowledge_graph_embeddings_tpu.train.loss import (
+            bce_over_scores,
+            one_vs_n_loss,
+        )
+
+        rng = np.random.default_rng(3)
+        B, N, d, P = 6, 11, 8, 9
+        q = jnp.asarray(rng.standard_normal((B, d)).astype(np.float32))
+        cand = jnp.asarray(rng.standard_normal((N, d)).astype(np.float32))
+        pos_rows = np.full(P, -1, np.int32)
+        pos_cols = np.full(P, -1, np.int32)
+        pos_rows[:7] = rng.integers(0, B, 7)
+        pos_cols[:7] = rng.integers(0, N - 2, 7)
+        # dedup pairs (BatchBuilder contract)
+        pairs = sorted(set(zip(pos_rows[:7], pos_cols[:7])))
+        pos_rows[:] = -1; pos_cols[:] = -1
+        for k, (r, c) in enumerate(pairs):
+            pos_rows[k], pos_cols[k] = r, c
+        row_valid = np.ones(B, bool); row_valid[-1] = False
+        col_valid = None
+        n_real = np.float32(N)
+        if with_col_valid:
+            col_valid = np.ones(N, bool); col_valid[-2:] = False
+            n_real = np.float32(N - 2)
+        pr, pc = jnp.asarray(pos_rows), jnp.asarray(pos_cols)
+        rv = jnp.asarray(row_valid)
+        cv = jnp.asarray(col_valid) if col_valid is not None else None
+        nrc = jnp.float32(n_real)
+
+        def explicit(q, cand):
+            scores = score_against_candidates(q, cand)
+            loss, _ = one_vs_n_loss("bce", scores, pr, pc, rv, cv, nrc, smoothing)
+            return loss
+
+        def fused(q, cand):
+            return bce_over_scores(q, cand, pr, pc, rv, cv, nrc, smoothing)
+
+        l0, (gq0, gc0) = jax.value_and_grad(explicit, argnums=(0, 1))(q, cand)
+        l1, (gq1, gc1) = jax.value_and_grad(fused, argnums=(0, 1))(q, cand)
+        np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gq1), np.asarray(gq0), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gc1), np.asarray(gc0), rtol=1e-5, atol=1e-6)
