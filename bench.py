@@ -301,6 +301,89 @@ def bench_segments():
             "optimizer_ms": t_opt * 1e3}
 
 
+def bench_flagship_zipf():
+    """Flagship workload with Zipf-distributed token ids.
+
+    The headline bench draws token ids uniformly — the worst case for any
+    duplicate-aware update (~every token position unique).  Real OLPBench
+    mention/relation tokens are Zipfian; this section reports the same model
+    at s=1.1 token frequencies, dense vs sparse (the per-batch gate decides),
+    plus the measured unique-token ratio, so the realistic operating point
+    is on record next to the adversarial one."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_knowledge_graph_embeddings_tpu.data.dataset import DatasetMeta
+    from open_knowledge_graph_embeddings_tpu.data.batching import Batch
+    from open_knowledge_graph_embeddings_tpu.models.model import build_model
+    from open_knowledge_graph_embeddings_tpu.train.sparse import (
+        SparsePlanBuilder,
+        make_sparse_train_step,
+    )
+    from open_knowledge_graph_embeddings_tpu.train.step import make_train_step
+
+    rng = np.random.default_rng(0)
+
+    def zipf_tok_matrix(n, vocab):
+        lens = rng.integers(1, MAX_LEN - 1, size=n)
+        ranks = (rng.zipf(1.1, size=(n, MAX_LEN)) - 1) % (vocab - 4)
+        body = (4 + ranks).astype(np.int32)
+        pos = np.arange(MAX_LEN)[None, :]
+        m = np.where(pos == 0, 2, body)
+        m = np.where(pos == lens[:, None] + 1, 3, m)
+        m = np.where(pos > lens[:, None] + 1, 0, m)
+        m[:2] = 0
+        m[:2, 0] = 1
+        return m.astype(np.int32)
+
+    meta = DatasetMeta(
+        entities_size=ENTITIES, relations_size=RELATIONS,
+        min_entities_size=2, min_relations_size=2,
+        entity_tokens_size=ENT_TOKENS, relation_tokens_size=REL_TOKENS,
+        max_length=(MAX_LEN, MAX_LEN),
+        entity_token_ids=zipf_tok_matrix(ENTITIES, ENT_TOKENS),
+        relation_token_ids=zipf_tok_matrix(RELATIONS, REL_TOKENS),
+    )
+    raw, P_real = build_batch(rng)
+    toks = meta.entity_token_ids[
+        np.concatenate([raw["candidate_ids"], raw["ent_ids"]])
+    ]
+    uniq_ratio = len(np.unique(toks[toks > 3])) / max(1, int((toks > 3).sum()))
+
+    out = {"unique_entity_token_ratio": round(uniq_ratio, 4)}
+    for label, sparse in (("dense", False), ("sparse", True)):
+        model = build_model(
+            "LSTMComplexRelationModel", meta, entity_slot_size=D,
+            relation_slot_size=D, dropout=0.1, normalize="batchnorm",
+            init_std=0.1, sparse=sparse,
+            dtype=os.environ.get("OKET_BENCH_DTYPE", "bfloat16"),
+        )
+        variables = model.init(jax.random.key(0))
+        regimes = _regimes()
+        opt_state = regimes.init_state(variables["params"])
+        hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
+        if sparse:
+            b = Batch(
+                ent_ids=raw["ent_ids"], rel_ids=raw["rel_ids"], is_sp=raw["is_sp"],
+                row_valid=raw["row_valid"], num_rows=BATCH,
+                candidate_ids=raw["candidate_ids"], col_valid=raw["col_valid"],
+                num_cols=CANDS, cand_offset=2,
+                pos_rows=raw["pos_rows"], pos_cols=raw["pos_cols"],
+                normalizer_loss=float(raw["normalizer_loss"]),
+            )
+            plan = SparsePlanBuilder(model.embedder, entity_sparse=True)
+            batch = {k: jnp.asarray(v) for k, v in plan(b).items()}
+            step = make_sparse_train_step(
+                model, regimes, variables["params"], entity_sparse=True
+            )
+        else:
+            batch = {k: jnp.asarray(v) for k, v in raw.items()}
+            step = make_train_step(model, regimes, variables["params"])
+        dt, _ = _time_steps(step, variables, opt_state, hp, batch, iters=10)
+        out[label] = {"step_ms": round(dt * 1e3, 2), "items_per_sec": round(P_real / dt, 1)}
+    return out
+
+
 def bench_lookup_scaling():
     """Lookup-table training with row-sparse updates at two vocabulary
     scales: step time must NOT scale with the table height (the dense path
@@ -546,6 +629,7 @@ def main():
             "items_per_sec": round(items_sp, 1), "step_ms": round(step_sp * 1e3, 2),
         }
         rep["segments"] = {k: round(v, 2) for k, v in bench_segments().items()}
+        rep["flagship_zipf_tokens"] = bench_flagship_zipf()
         rep["lookup_scaling"] = bench_lookup_scaling()
         rep["full_vocab_train"] = {
             k: (round(v, 3) if isinstance(v, float) else v)
