@@ -139,3 +139,72 @@ def test_cli_trains_on_mesh(toy_dataset_dir, tmp_path):
     sh = trainer.variables["params"]["entity_embedding"].sharding
     assert "model" in str(sh.spec)
     assert trainer.training_steps > 0
+
+
+def test_sparse_step_matches_single_device_on_mesh(toy_dataset_dir):
+    """Row-sparse train step under GSPMD mesh sharding == single-device
+    sparse step (sharded tables + scatter row updates; the north-star's
+    'sparse gradient scatter into sharded tables' composition)."""
+    from open_knowledge_graph_embeddings_tpu.data import (
+        BatchBuilder,
+        OneToNMentionRelationDataset,
+    )
+    from open_knowledge_graph_embeddings_tpu.models import build_model
+    from open_knowledge_graph_embeddings_tpu.parallel import (
+        make_mesh,
+        opt_state_shardings,
+        variables_shardings,
+    )
+    from open_knowledge_graph_embeddings_tpu.train import OptimizerRegimes
+    from open_knowledge_graph_embeddings_tpu.train.sparse import (
+        SparsePlanBuilder,
+        make_sparse_train_step,
+    )
+
+    tds = OneToNMentionRelationDataset(
+        dataset_dir=toy_dataset_dir, input_file="train.txt", is_training_data=True,
+        batch_size=4, use_batch_shared_entities=True, min_size_batch_labels=8,
+    )
+    model = build_model(
+        "LookupComplexRelationModel", tds.meta, entity_slot_size=8, init_std=0.1,
+        sparse=True,
+    )
+    variables = model.init(jax.random.key(0))
+    regimes = OptimizerRegimes({"optimizer": "Adagrad", "lr": 0.1})
+    regimes.update(1, 0)
+    opt_state = regimes.init_state(variables["params"])
+    # min_rows_ratio=0: force the sparse plan on the tiny toy tables
+    plan = SparsePlanBuilder(model.embedder, entity_sparse=True, min_rows_ratio=0.0)
+    step = make_sparse_train_step(model, regimes, variables["params"], entity_sparse=True)
+    hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
+    batch = plan(next(BatchBuilder(tds, seed=3).batches()))
+    assert any(k.startswith("sparse/") for k in batch), "plan did not sparsify"
+    rng = jax.random.key(7)
+
+    host_vars = jax.tree_util.tree_map(np.asarray, variables)
+    host_opt = jax.tree_util.tree_map(np.asarray, opt_state)
+
+    v1, o1, s1 = step(
+        jax.tree_util.tree_map(jnp.asarray, host_vars),
+        jax.tree_util.tree_map(jnp.asarray, host_opt),
+        hp, batch, rng,
+    )
+    loss_single = float(s1["loss_sum"])
+
+    mesh = make_mesh(data=4, model=2)
+    var_sh = variables_shardings(variables, mesh)
+    opt_sh = opt_state_shardings(opt_state, var_sh, mesh)
+    vs = jax.device_put(jax.tree_util.tree_map(jnp.asarray, host_vars), var_sh)
+    os_ = jax.device_put(jax.tree_util.tree_map(jnp.asarray, host_opt), opt_sh)
+    step2 = make_sparse_train_step(model, regimes, variables["params"], entity_sparse=True)
+    v2, o2, s2 = step2(vs, os_, hp, batch, rng)
+    assert float(s2["loss_sum"]) == pytest.approx(loss_single, rel=1e-5)
+    for t in ("entity_embedding", "relation_embedding"):
+        np.testing.assert_allclose(
+            np.asarray(v1["params"][t]), np.asarray(v2["params"][t]),
+            rtol=1e-5, atol=1e-6, err_msg=t,
+        )
+        np.testing.assert_allclose(
+            np.asarray(o1[t]["sum"]), np.asarray(o2[t]["sum"]),
+            rtol=1e-5, atol=1e-6, err_msg=f"{t} accumulator",
+        )
