@@ -96,6 +96,16 @@ def main(args: Dict[str, Any]) -> Trainer:
     if precision and precision != "default":
         jax.config.update("jax_default_matmul_precision", precision)
 
+    # persistent XLA compilation cache: first flagship compile is 20-40 s on
+    # TPU; cached restarts (resume, sweeps over the same shapes) skip it.
+    # Set compilation_cache_dir: "" to disable.
+    cache_dir = args.get("compilation_cache_dir", "~/.cache/oket_xla")
+    if cache_dir:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser(cache_dir)
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     train_data = setup_dataset(args, args["train_data_config"], is_training_data=True)
     valid_data = setup_dataset(args, args["val_data_config"], is_training_data=False)
     test_data = setup_dataset(args, args["test_data_config"], is_training_data=False)
