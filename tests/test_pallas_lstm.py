@@ -200,3 +200,27 @@ class TestFusedLengthAwareLSTM:
                 np.asarray(state1["entity_bn"][k]),
                 rtol=1e-5, atol=1e-7, err_msg=k,
             )
+
+    def test_encode_entity_pair_eval_mode(self, toy_dataset_dir):
+        """Eval-mode (running-stats BN, no dropout) pair == two calls."""
+        from open_knowledge_graph_embeddings_tpu.data import OneToNMentionRelationDataset
+        from open_knowledge_graph_embeddings_tpu.models import build_model
+
+        tds = OneToNMentionRelationDataset(
+            dataset_dir=toy_dataset_dir, input_file="train.txt",
+            is_training_data=True, batch_size=4,
+        )
+        model = build_model(
+            "LSTMComplexRelationModel", tds.meta, entity_slot_size=128,
+            dropout=0.25, normalize="batchnorm",
+        )
+        variables = model.init(jax.random.key(0))
+        ids_a = jnp.asarray((np.arange(8) % 6 + 2).astype(np.int32))
+        ids_b = jnp.asarray((np.arange(6)[::-1] % 6 + 2).astype(np.int32))
+        xa0, _, _ = model.embedder.encode_entity(variables, ids_a, train=False)
+        xb0, _, _ = model.embedder.encode_entity(variables, ids_b, train=False)
+        xa, xb, _, _ = model.embedder.encode_entity_pair(
+            variables, ids_a, ids_b, train=False
+        )
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xa0), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(xb0), rtol=1e-5, atol=1e-6)
