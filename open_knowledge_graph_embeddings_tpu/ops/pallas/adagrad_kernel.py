@@ -40,10 +40,14 @@ def adagrad_update_pallas(
     weight_decay: jax.Array, eps: jax.Array,
 ) -> Tuple[jax.Array, jax.Array]:
     """Fused (param', acc') update for a [V, d] table; clr is the effective
-    learning rate (lr with lr_decay already applied)."""
+    learning rate (lr with lr_decay already applied).
+
+    Non-divisible heights (FB15k-237's 14,541 entities, the 50k relation
+    token vocab) use a ceil grid: Pallas TPU pads the final block's reads
+    and masks its writes (verified on-device)."""
     V, d = p.shape
     rows = _row_block(V)
-    grid = (V // rows,)
+    grid = (-(-V // rows),)
     hp = jnp.stack([clr, weight_decay, eps]).astype(jnp.float32)
     new_p, new_acc = pl.pallas_call(
         _kernel,
@@ -68,10 +72,7 @@ def adagrad_update_pallas(
 
 
 def _row_block(V: int) -> int:
-    rows = 512
-    while V % rows != 0 and rows > 1:
-        rows //= 2
-    return rows
+    return min(512, V)
 
 
 def pallas_adagrad_supported(p: jax.Array, min_size: int = 1 << 20) -> bool:
@@ -82,9 +83,6 @@ def pallas_adagrad_supported(p: jax.Array, min_size: int = 1 << 20) -> bool:
     if p.ndim != 2 or p.size < min_size:
         return False
     if p.shape[1] % 128 != 0:
-        return False
-    if _row_block(p.shape[0]) < 64:
-        # degenerate grid of tiny row blocks would be slower than XLA
         return False
     backend = jax.default_backend()
     if backend not in ("tpu", "axon"):

@@ -94,6 +94,33 @@ class TestPallasAdagrad:
         np.testing.assert_allclose(np.asarray(new_acc), np.asarray(want_acc), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(new_p), np.asarray(want_p), rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.skipif(
+        jax.default_backend() not in ("tpu", "axon"),
+        reason="ragged final blocks need real Mosaic lowering (the "
+        "interpreter pads output shapes); verified on-device",
+    )
+    def test_kernel_ragged_height(self):
+        """Non-512-divisible table heights (FB15k-237: 14541 rows; relation
+        token vocabs): the ceil grid's masked final block must update the
+        tail rows exactly."""
+        from open_knowledge_graph_embeddings_tpu.ops.pallas.adagrad_kernel import (
+            adagrad_update_pallas,
+        )
+
+        rng = np.random.default_rng(1)
+        V, d = 1234, 128  # 1234 = 2*512 + 210
+        g = jnp.asarray(rng.standard_normal((V, d)).astype(np.float32))
+        p = jnp.asarray(rng.standard_normal((V, d)).astype(np.float32))
+        acc = jnp.asarray(np.abs(rng.standard_normal((V, d))).astype(np.float32))
+        clr, wd, eps = jnp.float32(0.3), jnp.float32(1e-10), jnp.float32(1e-10)
+        new_p, new_acc = adagrad_update_pallas(g, p, acc, clr, wd, eps)
+        g2 = g + wd * p
+        want_acc = acc + g2 * g2
+        want_p = p - clr * g2 / (jnp.sqrt(want_acc) + eps)
+        assert new_p.shape == (V, d)
+        np.testing.assert_allclose(np.asarray(new_acc), np.asarray(want_acc), rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_p), np.asarray(want_p), rtol=1e-5, atol=1e-6)
+
 
 class TestFusedLengthAwareLSTM:
     """Length-aware fused encoder (interpreter mode on CPU): fwd value and
