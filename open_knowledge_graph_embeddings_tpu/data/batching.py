@@ -144,6 +144,17 @@ def pad_batches_to_common_shape(batches: List[Batch]) -> List[Batch]:
     return out
 
 
+@dataclass
+class _Scratch:
+    """Reusable per-thread batch-build state (the LUT buffers are written
+    and reset within one build call, so each concurrent builder thread
+    needs its own copy)."""
+
+    col_of_ent: np.ndarray
+    first_pos: np.ndarray
+    rng: np.random.Generator
+
+
 class BatchBuilder:
     """Builds batches from a :class:`OneToNMentionRelationDataset`."""
 
@@ -166,11 +177,19 @@ class BatchBuilder:
         self.drop_last = dataset.is_training_data if drop_last is None else drop_last
         self.host_shard = host_shard
         self.pos_bucket_min = pos_bucket_min
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.cand_offset = self.meta.min_entities_size
         self.full_num_cols = self.meta.entities_size - self.cand_offset
-        # reusable entity-id -> batch-column translation buffer
-        self._col_of_ent = np.full(self.meta.entities_size, PAD_COL, dtype=np.int32)
+        self._scratch = None  # lazily built; worker threads make their own
+
+    def _make_scratch(self) -> "_Scratch":
+        """Per-thread mutable state: reusable LUT buffers + negative rng."""
+        return _Scratch(
+            col_of_ent=np.full(self.meta.entities_size, PAD_COL, dtype=np.int32),
+            first_pos=np.full(self.meta.entities_size, -1, dtype=np.int64),
+            rng=self.rng,
+        )
 
     def __len__(self) -> int:
         n = len(self.rec)
@@ -179,12 +198,22 @@ class BatchBuilder:
         b = self.batch_size
         return n // b if self.drop_last else -(-n // b)
 
-    def batches(self, shuffle: bool = False, prefetch: int = 0, transform=None) -> Iterator[Batch]:
-        """Iterate batches; ``prefetch > 0`` builds them on a background
-        thread (the TPU equivalent of the reference's DataLoader worker
+    def batches(
+        self, shuffle: bool = False, prefetch: int = 0, transform=None, workers: int = 1
+    ) -> Iterator[Batch]:
+        """Iterate batches; ``prefetch > 0`` builds them on background
+        threads (the TPU equivalent of the reference's 8 DataLoader worker
         processes, scripts/train.py:93-103) so host-side construction
         overlaps device steps.  ``transform`` (Batch -> item) runs on the
-        worker thread too — e.g. the sparse-plan builder."""
+        worker threads too — e.g. the sparse-plan builder.
+
+        ``workers > 1`` builds batches concurrently (numpy releases the GIL
+        for the heavy array ops).  Batches are yielded in order.  Negative
+        top-up then draws from deterministic *per-batch* rng streams
+        (seeded by builder seed x epoch x batch ordinal) instead of one
+        sequential stream, so results are reproducible but differ from the
+        single-worker stream — same class of change as the reference's
+        worker count affecting its numpy RNG use."""
         order = np.arange(len(self.rec))
         if shuffle:
             self.rng.shuffle(order)
@@ -205,39 +234,98 @@ class BatchBuilder:
         import queue
         import threading
 
-        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        if workers <= 1:
+            q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+            stop = threading.Event()
+
+            def worker():
+                try:
+                    for start in starts:
+                        if stop.is_set():
+                            return
+                        q.put(transform(self.build(order[start : start + b])))
+                except BaseException as e:  # surface worker errors to the consumer
+                    q.put(e)
+                finally:
+                    q.put(None)
+
+            t = threading.Thread(target=worker, daemon=True)
+            t.start()
+            try:
+                while True:
+                    item = q.get()
+                    if item is None:
+                        break
+                    if isinstance(item, BaseException):
+                        raise item
+                    yield item
+            finally:
+                stop.set()
+                # drain so the worker can exit
+                while not q.empty():
+                    q.get_nowait()
+            return
+
+        # ---- multi-worker: task queue + in-order reorder buffer ----
+        self._epoch_counter = getattr(self, "_epoch_counter", -1) + 1
+        epoch = self._epoch_counter
+        tasks: "queue.Queue" = queue.Queue()
+        n_tasks = len(starts)
+        for item in enumerate(starts):
+            tasks.put(item)
+        done: dict = {}
+        cond = threading.Condition()
+        budget = threading.Semaphore(max(prefetch, workers))
         stop = threading.Event()
+        next_out = 0
 
         def worker():
-            try:
-                for start in starts:
-                    if stop.is_set():
-                        return
-                    q.put(transform(self.build(order[start : start + b])))
-            except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
-            finally:
-                q.put(None)
+            scratch = self._make_scratch()
+            while not stop.is_set():
+                budget.acquire()
+                try:
+                    i, start = tasks.get_nowait()
+                except queue.Empty:
+                    budget.release()
+                    return
+                try:
+                    scratch.rng = np.random.default_rng(
+                        np.random.SeedSequence([self.seed, epoch, i])
+                    )
+                    item = transform(self.build(order[start : start + b], scratch=scratch))
+                except BaseException as e:
+                    item = e
+                with cond:
+                    done[i] = item
+                    cond.notify_all()
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
+        threads = [threading.Thread(target=worker, daemon=True) for _ in range(workers)]
+        for t in threads:
+            t.start()
         try:
-            while True:
-                item = q.get()
-                if item is None:
-                    break
+            for next_out in range(n_tasks):
+                with cond:
+                    while next_out not in done:
+                        cond.wait()
+                    item = done.pop(next_out)
+                budget.release()
                 if isinstance(item, BaseException):
                     raise item
                 yield item
         finally:
             stop.set()
-            # drain so the worker can exit
-            while not q.empty():
-                q.get_nowait()
+            # unblock any workers parked on the budget
+            for _ in threads:
+                budget.release()
 
     # ------------------------------------------------------------------ core
 
-    def build(self, item_ids: Sequence[int]) -> Batch:
+    def build(self, item_ids: Sequence[int], scratch: Optional["_Scratch"] = None) -> Batch:
+        if scratch is None:
+            if self._scratch is None:
+                self._scratch = self._make_scratch()
+            scratch = self._scratch
+            scratch.rng = self.rng  # sequential stream in single-thread mode
         rec = self.rec
         item_ids = np.asarray(item_ids)
         # po rows first, then sp rows (reference slot iteration order [0, 2])
@@ -263,21 +351,44 @@ class BatchBuilder:
 
         training = self.ds.is_training_data
 
-        # --- per-row positive mention ids (ragged slices) ---
-        row_ment: List[np.ndarray] = [rec.row_mentions(i) for i in item_ids]
+        # --- per-row positive mention ids: one vectorized ragged gather
+        # (each row's mentions are a contiguous rec.mentions slice) ---
+        gs = rec.group_offsets[item_ids]
+        ge = rec.group_offsets[item_ids + 1]
+        ms = rec.mention_offsets[gs]
+        lens = (rec.mention_offsets[ge] - ms).astype(np.int64)
+        total = int(lens.sum())
+        idx = np.repeat(ms - (np.cumsum(lens) - lens), lens) + np.arange(
+            total, dtype=np.int64
+        )
+        ment_flat = rec.mentions[idx]
+        # per-row "has intra-example duplicate mention" flags (precomputed at
+        # index build): _pack_positives dedups only the flagged rows'
+        # positives (None = old cache, dedup everything)
+        row_dup = None if rec.row_has_dup is None else rec.row_has_dup[item_ids]
 
         if self.ds.use_batch_shared_entities:
-            batch = self._build_batch_shared(item_ids, row_ment, ent_ids, rel_ids, is_sp, row_valid, n_rows)
+            batch = self._build_batch_shared(
+                item_ids, ment_flat, lens, row_dup, ent_ids, rel_ids, is_sp, row_valid,
+                n_rows, scratch,
+            )
         else:
-            batch = self._build_full_vocab(item_ids, row_ment, ent_ids, rel_ids, is_sp, row_valid, n_rows)
+            batch = self._build_full_vocab(
+                item_ids, ment_flat, lens, row_dup, ent_ids, rel_ids, is_sp, row_valid,
+                n_rows, scratch,
+            )
         return batch
 
     # ---------------------------------------------------------- full vocab
 
-    def _build_full_vocab(self, item_ids, row_ment, ent_ids, rel_ids, is_sp, row_valid, n_rows) -> Batch:
+    def _build_full_vocab(
+        self, item_ids, ment_flat, lens, row_dup, ent_ids, rel_ids, is_sp, row_valid, n_rows, scratch
+    ) -> Batch:
         off = self.cand_offset
         N = self.full_num_cols
-        pos_rows, pos_cols = self._pack_positives(row_ment, lambda m: m - off)
+        pos_rows, pos_cols = self._pack_positives(
+            ment_flat, lens, lambda m: m - off, row_dup
+        )
         batch = Batch(
             ent_ids=ent_ids, rel_ids=rel_ids, is_sp=is_sp, row_valid=row_valid, num_rows=n_rows,
             candidate_ids=None, col_valid=None, num_cols=N, cand_offset=off,
@@ -290,20 +401,20 @@ class BatchBuilder:
 
     # --------------------------------------------------------- batch shared
 
-    def _build_batch_shared(self, item_ids, row_ment, ent_ids, rel_ids, is_sp, row_valid, n_rows) -> Batch:
+    def _build_batch_shared(
+        self, item_ids, ment_flat, lens, row_dup, ent_ids, rel_ids, is_sp, row_valid, n_rows, scratch
+    ) -> Batch:
         rec = self.rec
         training = self.ds.is_training_data
         # Candidate pool: answers from this split (train) or from all splits
         # (eval, for filterable scoring) in first-seen order
         # (reference: openkge/dataset.py:813-825).
         if training:
-            pool_parts = row_ment
+            pool = ment_flat
         else:
             pool_parts = [rec.row_filter(i) for i in item_ids]
-        pool = np.concatenate(pool_parts) if pool_parts else np.zeros(0, np.int32)
-        # first-seen-order unique
-        _, first_idx = np.unique(pool, return_index=True)
-        shared = pool[np.sort(first_idx)]
+            pool = np.concatenate(pool_parts) if pool_parts else np.zeros(0, np.int32)
+        shared = self._first_seen_unique(pool, scratch.first_pos)
 
         min_size = self.ds.min_size_batch_labels
         if min_size is None or min_size < 0:
@@ -318,7 +429,7 @@ class BatchBuilder:
             # size << population (measured 1.3 ms for 32768 of 2.47M — faster
             # than randint+dedup at 4.5 ms), so this is both reference-exact
             # and the fastest option.
-            neg = self.rng.choice(
+            neg = scratch.rng.choice(
                 self.meta.entities_size - self.cand_offset, size=min_size, replace=False
             ).astype(np.int32) + self.cand_offset
             neg = neg[~np.isin(neg, shared, assume_unique=False)]
@@ -332,11 +443,11 @@ class BatchBuilder:
         col_valid[:N_real] = True
 
         # entity id -> column translation via reusable buffer
-        lut = self._col_of_ent
+        lut = scratch.col_of_ent
         lut[cand_real] = np.arange(N_real, dtype=np.int32)
         translate = lambda m: lut[m]
 
-        pos_rows, pos_cols = self._pack_positives(row_ment, translate)
+        pos_rows, pos_cols = self._pack_positives(ment_flat, lens, translate, row_dup)
         batch = Batch(
             ent_ids=ent_ids, rel_ids=rel_ids, is_sp=is_sp, row_valid=row_valid, num_rows=n_rows,
             candidate_ids=candidate_ids, col_valid=col_valid, num_cols=N_real,
@@ -351,23 +462,51 @@ class BatchBuilder:
 
     # ------------------------------------------------------------- helpers
 
-    def _pack_positives(self, row_ment: List[np.ndarray], translate) -> Tuple[np.ndarray, np.ndarray]:
-        lens = np.array([len(m) for m in row_ment], dtype=np.int64)
-        total = int(lens.sum())
+    def _first_seen_unique(self, pool: np.ndarray, lut: np.ndarray) -> np.ndarray:
+        """``np.unique`` in first-seen order, O(n) via a reusable LUT
+        (replacing an argsort that cost ~10 ms/batch at flagship shapes)."""
+        n = len(pool)
+        if n == 0:
+            return pool
+        # reversed fancy assignment: the last write per id wins, which is the
+        # FIRST occurrence in the original order
+        lut[pool[::-1]] = np.arange(n - 1, -1, -1, dtype=lut.dtype)
+        out = pool[lut[pool] == np.arange(n, dtype=lut.dtype)]
+        lut[pool] = -1  # reset touched entries
+        return out
+
+    def _pack_positives(
+        self, ment_flat: np.ndarray, lens: np.ndarray, translate, row_dup
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        total = len(ment_flat)
         rows = cols = None
         if total:
-            rows = np.repeat(np.arange(len(row_ment), dtype=np.int32), lens)
-            cols = translate(np.concatenate(row_ment).astype(np.int64)).astype(np.int32)
+            rows = np.repeat(np.arange(len(lens), dtype=np.int32), lens)
+            cols = translate(ment_flat.astype(np.int64)).astype(np.int32)
             # dedup (row, col) pairs: the reference's dense label scatter
             # collapses duplicates to 1, and the indexed BCE loss
             # (train/loss.py bce_with_logits_sum_indexed) relies on pairs
-            # being unique to reproduce that collapse without a label matrix
-            pair = rows.astype(np.int64) << 32 | (cols.astype(np.int64) & 0xFFFFFFFF)
-            keep = np.unique(pair, return_index=True)[1]
-            if len(keep) != total:
-                keep.sort()
-                rows, cols = rows[keep], cols[keep]
-                total = len(keep)
+            # being unique to reproduce that collapse without a label matrix.
+            # Only the positives of rows flagged at index build as having an
+            # intra-example duplicate mention can collide (distinct mentions
+            # always map to distinct columns), so only those are sorted.
+            pos_flag = (
+                np.ones(total, dtype=bool)
+                if row_dup is None
+                else np.repeat(row_dup, lens)
+            )
+            if pos_flag.any():
+                sub = np.flatnonzero(pos_flag)
+                pair = (
+                    rows[sub].astype(np.int64) << 32
+                    | (cols[sub].astype(np.int64) & 0xFFFFFFFF)
+                )
+                keep_sub = sub[np.unique(pair, return_index=True)[1]]
+                if len(keep_sub) != len(sub):
+                    keep = np.concatenate([np.flatnonzero(~pos_flag), keep_sub])
+                    keep.sort()
+                    rows, cols = rows[keep], cols[keep]
+                    total = len(keep)
         P = next_bucket(total, minimum=self.pos_bucket_min)
         pos_rows = np.full(P, PAD_COL, dtype=np.int32)
         pos_cols = np.full(P, PAD_COL, dtype=np.int32)

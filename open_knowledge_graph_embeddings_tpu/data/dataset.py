@@ -46,7 +46,7 @@ logger = logging.getLogger(__name__)
 SLOT_PO = 0  # prefix = (rel, obj), predict subject
 SLOT_SP = 2  # prefix = (subj, rel), predict object
 
-_CACHE_VERSION = 3
+_CACHE_VERSION = 4
 
 
 # ----------------------------------------------------------------------- meta
@@ -304,6 +304,10 @@ class PrefixRecords:
     mentions: np.ndarray  # [M] int32
     filter_offsets: Optional[np.ndarray] = None  # [P+1] int64
     filter_values: Optional[np.ndarray] = None  # [F] int32
+    #: per-example "same mention appears twice across my groups" flag —
+    #: lets the batch builder skip its (row, col) dedup sort on the common
+    #: dup-free path (None = unknown, treated as maybe-dup)
+    row_has_dup: Optional[np.ndarray] = None  # [P] bool
 
     def __len__(self) -> int:
         return len(self.p1)
@@ -392,6 +396,26 @@ def _concat_directions(sp: dict, po: dict) -> PrefixRecords:
         mention_offsets=m_off_parts,
         mentions=np.concatenate([sp["mentions"], po["mentions"]]),
     )
+
+
+def _compute_dup_flags(rec: PrefixRecords) -> np.ndarray:
+    """[P] bool: example has the same mention in more than one position
+    across its groups (one vectorized sort at index build, cached)."""
+    P = len(rec)
+    row_lens = (
+        rec.mention_offsets[rec.group_offsets[1:]]
+        - rec.mention_offsets[rec.group_offsets[:-1]]
+    ).astype(np.int64)
+    flags = np.zeros(P, dtype=bool)
+    if rec.mentions.size == 0:
+        return flags
+    ex = np.repeat(np.arange(P, dtype=np.int64), row_lens)
+    stride = np.int64(rec.mentions.max(initial=0)) + 1
+    key = np.sort(ex * stride + rec.mentions)
+    dup = key[1:][key[1:] == key[:-1]]
+    if dup.size:
+        flags[np.unique(dup // stride)] = True
+    return flags
 
 
 def _split_large_prefixes(rec: PrefixRecords, max_groups: int) -> PrefixRecords:
@@ -483,6 +507,7 @@ class OneToNMentionRelationDataset:
                 p1=z["p1"], p2=z["p2"], slot=z["slot"],
                 group_offsets=z["group_offsets"], mention_offsets=z["mention_offsets"],
                 mentions=z["mentions"],
+                row_has_dup=z["row_has_dup"] if "row_has_dup" in z.files else None,
             )
         triples, s_off, s_val, o_off, o_val = read_triple_file(
             os.path.join(self.dataset_dir, self.input_file_name)
@@ -492,11 +517,12 @@ class OneToNMentionRelationDataset:
         rec = _concat_directions(sp, po)
         if self.is_training_data:
             rec = _split_large_prefixes(rec, self.max_size_prefix_label)
+        rec.row_has_dup = _compute_dup_flags(rec)
         _atomic_savez(
             path,
             p1=rec.p1, p2=rec.p2, slot=rec.slot,
             group_offsets=rec.group_offsets, mention_offsets=rec.mention_offsets,
-            mentions=rec.mentions,
+            mentions=rec.mentions, row_has_dup=rec.row_has_dup,
         )
         return rec
 

@@ -305,8 +305,12 @@ class Trainer:
         # plan does a unique+remap pass there)
         to_arrays = self._sparse_plan if self.sparse else train_batch_to_arrays
         transform = lambda b: (b, self._put_batch(to_arrays(b)))
+        workers = int(self.args.get("workers", 8))  # reference: scripts/train.py:95
         for step_i, (batch, arrays) in enumerate(
-            self.train_builder.batches(shuffle=True, prefetch=2, transform=transform)
+            self.train_builder.batches(
+                shuffle=True, prefetch=max(2, workers), transform=transform,
+                workers=workers,
+            )
         ):
             if profile_steps and self.training_steps == 1:
                 jax.profiler.start_trace(f"{self.save_path}/profile")

@@ -258,3 +258,39 @@ def test_split_large_prefixes_matches_loop_reference():
             np.testing.assert_array_equal(
                 getattr(a, f), getattr(b, f), err_msg=f"{f} trial {trial} mg={mg}"
             )
+
+
+def test_multiworker_batches_deterministic_and_ordered(toy_dataset_dir):
+    """workers>1 yields the same batch sequence across runs (per-batch rng
+    streams) and matches single-worker output except for the negative
+    top-up stream."""
+    from open_knowledge_graph_embeddings_tpu.data import BatchBuilder
+
+    ds = OneToNMentionRelationDataset(
+        dataset_dir=toy_dataset_dir, input_file="train.txt", is_training_data=True,
+        batch_size=2, use_batch_shared_entities=True, min_size_batch_labels=6,
+    )
+
+    def run(workers):
+        b = BatchBuilder(ds, seed=3)
+        return list(b.batches(shuffle=True, prefetch=4, workers=workers))
+
+    a1 = run(4)
+    a2 = run(4)
+    single = run(1)
+    assert len(a1) == len(single) > 0
+    for x, y in zip(a1, a2):
+        np.testing.assert_array_equal(x.ent_ids, y.ent_ids)
+        np.testing.assert_array_equal(x.candidate_ids, y.candidate_ids)
+        np.testing.assert_array_equal(x.pos_rows, y.pos_rows)
+        np.testing.assert_array_equal(x.pos_cols, y.pos_cols)
+    for x, s in zip(a1, single):
+        # same rows and positives; candidates agree on the shared (answer)
+        # prefix — only the random negative top-up stream differs
+        np.testing.assert_array_equal(x.ent_ids, s.ent_ids)
+        np.testing.assert_array_equal(x.pos_rows, s.pos_rows)
+        np.testing.assert_array_equal(x.pos_cols, s.pos_cols)
+        n_shared = len(
+            np.intersect1d(x.candidate_ids[x.col_valid], s.candidate_ids[s.col_valid])
+        )
+        assert n_shared >= 1
