@@ -574,6 +574,7 @@ def bench_host_collate():
         def __len__(self):
             return n_items
 
+    rec.row_has_dup = np.zeros(n_items, dtype=bool)
     builder = BatchBuilder.__new__(BatchBuilder)
     builder.ds = _DS()
     builder.rec = rec
@@ -582,10 +583,11 @@ def bench_host_collate():
     builder.drop_last = True
     builder.host_shard = None
     builder.pos_bucket_min = 1024
+    builder.seed = 0
     builder.rng = np.random.default_rng(0)
     builder.cand_offset = 2
     builder.full_num_cols = ENTITIES - 2
-    builder._col_of_ent = np.full(ENTITIES, -1, dtype=np.int32)
+    builder._scratch = None
     rec_len = n_items
 
     ids = np.arange(BATCH)
