@@ -486,7 +486,8 @@ class UnigramPoolingEmbedder(TokenEmbedderBase):
         params, state, buffers = self._init_base(ks)
         return {"params": params, "state": state, "buffers": buffers}
 
-    def _compose(self, variables, ids, kind, table_name, bn_name, proj, dropout, train, rng):
+    def _pool_states(self, variables, ids, kind, table_name):
+        """Token gather + masked pool + activation: the per-row stage."""
         toks = self._tokens(variables, ids, kind)  # [B, L]
         emb = variables["params"][table_name][toks].astype(self._cdtype)  # [B, L, d]
         emb = _pad_stop_gradient(emb, toks)
@@ -499,6 +500,9 @@ class UnigramPoolingEmbedder(TokenEmbedderBase):
             x = jnp.sum(emb, axis=1)
         if self.activation:
             x = getattr(jax.nn, {"ReLU": "relu", "Tanh": "tanh"}.get(self.activation, self.activation.lower()))(x)
+        return x
+
+    def _finish(self, variables, x, bn_name, proj, dropout, train, rng):
         new_state = dict(variables["state"])
         if self.normalize == "norm":
             x = _l2_normalize(x)
@@ -515,11 +519,32 @@ class UnigramPoolingEmbedder(TokenEmbedderBase):
         x = _dropout(x, dropout, train, rng)
         return x, new_state, jnp.zeros((), jnp.float32)
 
+    def _compose(self, variables, ids, kind, table_name, bn_name, proj, dropout, train, rng):
+        x = self._pool_states(variables, ids, kind, table_name)
+        return self._finish(variables, x, bn_name, proj, dropout, train, rng)
+
     def encode_entity(self, variables, ids, *, is_sp=None, train=False, rng=None):
         return self._compose(
             variables, ids, "entity", "entity_token_embedding", "entity_bn",
             False, self.entity_dropout, train, rng,
         )
+
+    def encode_entity_pair(self, variables, ids_a, ids_b, *, train=False, rng_a=None, rng_b=None):
+        """One token gather + pool over the concatenated id batches; BN and
+        dropout still run per group in order (same contract as
+        LSTMEmbedder.encode_entity_pair — numerics identical to two calls)."""
+        na = ids_a.shape[0]
+        x = self._pool_states(
+            variables, jnp.concatenate([ids_a, ids_b]), "entity", "entity_token_embedding"
+        )
+        xa, state_a, reg_a = self._finish(
+            variables, x[:na], "entity_bn", False, self.entity_dropout, train, rng_a
+        )
+        vb = {**variables, "state": state_a}
+        xb, state_b, reg_b = self._finish(
+            vb, x[na:], "entity_bn", False, self.entity_dropout, train, rng_b
+        )
+        return xa, xb, state_b, reg_a + reg_b
 
     def encode_relation(self, variables, ids, *, train=False, rng=None):
         return self._compose(

@@ -171,3 +171,41 @@ class TestBatchNorm:
         np.testing.assert_allclose(
             np.asarray(state["var"]), tbn.running_var.numpy(), rtol=1e-4, atol=1e-6
         )
+
+
+class TestUnigramPairEncode:
+    def test_pair_matches_two_calls(self, rng):
+        import sys
+        sys.path.insert(0, "/root/repo/tests")
+        import tempfile
+        from conftest import write_toy_dataset
+        from open_knowledge_graph_embeddings_tpu.data import OneToNMentionRelationDataset
+        from open_knowledge_graph_embeddings_tpu.models import build_model
+
+        d = tempfile.mkdtemp()
+        write_toy_dataset(d)
+        tds = OneToNMentionRelationDataset(
+            dataset_dir=d, input_file="train.txt", is_training_data=True, batch_size=4
+        )
+        model = build_model(
+            "UnigramPoolingComplexRelationModel", tds.meta, entity_slot_size=16,
+            dropout=0.3, normalize="batchnorm",
+        )
+        variables = model.init(jax.random.key(0))
+        ids_a = jnp.asarray(np.array([2, 3, 4, 5], np.int32))
+        ids_b = jnp.asarray(np.array([6, 7, 8], np.int32))
+        ra, rb = jax.random.split(jax.random.key(9))
+        xa0, st0, _ = model.embedder.encode_entity(variables, ids_a, train=True, rng=ra)
+        xb0, st1, _ = model.embedder.encode_entity(
+            {**variables, "state": st0}, ids_b, train=True, rng=rb
+        )
+        xa, xb, st, _ = model.embedder.encode_entity_pair(
+            variables, ids_a, ids_b, train=True, rng_a=ra, rng_b=rb
+        )
+        np.testing.assert_allclose(np.asarray(xa), np.asarray(xa0), rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(xb), np.asarray(xb0), rtol=1e-5, atol=1e-6)
+        for k in ("mean", "var", "count"):
+            np.testing.assert_allclose(
+                np.asarray(st["entity_bn"][k]), np.asarray(st1["entity_bn"][k]),
+                rtol=1e-5, atol=1e-7,
+            )
