@@ -251,7 +251,13 @@ def bench_torch_cpu_baseline() -> float:
 
 
 def bench_segments():
-    """Forward-only / forward+backward / optimizer-only times (flagship)."""
+    """Forward-only / forward+backward / optimizer-only times (flagship).
+
+    Segments are timed as separate jitted programs, so each carries its own
+    dispatch/allocation overhead and the optimizer-only number lacks the
+    buffer donation the real step has — the segments therefore sum to MORE
+    than the fused step.  For exact in-step attribution use the profiler
+    trace (RESULTS.md documents the per-op breakdown)."""
     import jax
     import jax.numpy as jnp
 
