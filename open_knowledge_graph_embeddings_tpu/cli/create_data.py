@@ -13,7 +13,6 @@ relation_vocab_size, min_count, vocab_min_count, seed.
 from __future__ import annotations
 
 import argparse
-import logging
 import sys
 
 import yaml

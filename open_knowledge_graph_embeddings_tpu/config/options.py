@@ -12,9 +12,8 @@ from __future__ import annotations
 
 import argparse
 import ast
-import copy
 import os
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import yaml
 

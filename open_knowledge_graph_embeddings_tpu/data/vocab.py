@@ -10,10 +10,9 @@ that `mapped_to_ids` datasets produced by either pipeline are interchangeable.
 
 from __future__ import annotations
 
-import json
 import os
 from collections import Counter, OrderedDict
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, Iterable, List, Optional, Tuple
 
 PAD = 0
 UNK = 1

@@ -11,8 +11,7 @@ through the on-disk vocabulary maps.
 from __future__ import annotations
 
 import logging
-from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ map 1:1 and unit tests can assert allclose against torch.nn.LSTM.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

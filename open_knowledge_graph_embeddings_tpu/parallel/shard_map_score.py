@@ -39,7 +39,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from open_knowledge_graph_embeddings_tpu.models.model import KGEModel, QUERY_FNS
 from open_knowledge_graph_embeddings_tpu.parallel.mesh import DATA_AXIS, MODEL_AXIS
-from open_knowledge_graph_embeddings_tpu.train.loss import cell_mask, dense_labels
 
 
 def sharded_embedding_lookup(table_local: jax.Array, ids: jax.Array, axis: str = MODEL_AXIS):

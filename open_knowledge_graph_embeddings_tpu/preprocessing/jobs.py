@@ -16,7 +16,7 @@ import logging
 import os
 import pickle
 from collections import Counter, defaultdict
-from typing import Dict, List
+from typing import Dict
 
 from open_knowledge_graph_embeddings_tpu.preprocessing import corpus as corpus_mod
 from open_knowledge_graph_embeddings_tpu.preprocessing import leakage as leakage_mod

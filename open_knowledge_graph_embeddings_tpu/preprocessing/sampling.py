@@ -11,7 +11,7 @@ Samples three disjoint evaluation sets from the aggregated triple list
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Set, Tuple
+from typing import List, Sequence, Set, Tuple
 
 import numpy as np
 

@@ -34,7 +34,7 @@ buffers with batch-local remapped token matrices shipped from the host.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -40,10 +40,7 @@ from open_knowledge_graph_embeddings_tpu.data.batching import (
     pad_batches_to_common_shape,
 )
 from open_knowledge_graph_embeddings_tpu.data.dataset import OneToNMentionRelationDataset
-from open_knowledge_graph_embeddings_tpu.models.embedders import (
-    LookupEmbedder,
-    TokenEmbedderBase,
-)
+from open_knowledge_graph_embeddings_tpu.models.embedders import TokenEmbedderBase
 from open_knowledge_graph_embeddings_tpu.models.model import KGEModel
 from open_knowledge_graph_embeddings_tpu.train.checkpoint import CheckpointManager, load_checkpoint
 from open_knowledge_graph_embeddings_tpu.train.metrics import MetricResult
