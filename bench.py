@@ -630,31 +630,41 @@ def main():
     except Exception:
         out["vs_baseline"] = 1.0
 
+    # the driver-contract line goes out first (flushed) so report sections
+    # that crash or hit a timeout can't eat it
+    print(json.dumps(out), flush=True)
+
     if report:
-        rep = {"flagship_dense": out}
-        items_sp, step_sp = bench_flagship(sparse=True)
-        rep["flagship_sparse"] = {
-            "items_per_sec": round(items_sp, 1), "step_ms": round(step_sp * 1e3, 2),
-        }
-        rep["segments"] = {k: round(v, 2) for k, v in bench_segments().items()}
-        rep["flagship_zipf_tokens"] = bench_flagship_zipf()
-        rep["lookup_scaling"] = bench_lookup_scaling()
-        rep["full_vocab_train"] = {
+        # each section flushes as it completes so a partial run (timeout,
+        # interrupt) still leaves every finished measurement on stderr
+        def section(name, fn):
+            print(json.dumps({name: fn()}, indent=2), file=sys.stderr, flush=True)
+
+        section("flagship_dense", lambda: out)
+
+        def _sparse():
+            items_sp, step_sp = bench_flagship(sparse=True)
+            return {"items_per_sec": round(items_sp, 1), "step_ms": round(step_sp * 1e3, 2)}
+
+        section("flagship_sparse", _sparse)
+        section("segments", lambda: {k: round(v, 2) for k, v in bench_segments().items()})
+        section("flagship_zipf_tokens", bench_flagship_zipf)
+        section("lookup_scaling", bench_lookup_scaling)
+        section("full_vocab_train", lambda: {
             k: (round(v, 3) if isinstance(v, float) else v)
             for k, v in bench_full_vocab_train().items()
-        }
-        rep["full_vocab_eval"] = {
+        })
+        section("full_vocab_eval", lambda: {
             k: (round(v, 3) if isinstance(v, float) else v)
             for k, v in bench_full_vocab_eval().items()
-        }
-        host = bench_host_collate()
-        host["keeps_chip_fed"] = bool(1.0 / host["batches_per_sec"] < step_s)
-        rep["host_collate"] = {
-            k: (round(v, 3) if isinstance(v, float) else v) for k, v in host.items()
-        }
-        print(json.dumps(rep, indent=2), file=sys.stderr)
+        })
 
-    print(json.dumps(out))
+        def _host():
+            host = bench_host_collate()
+            host["keeps_chip_fed"] = bool(1.0 / host["batches_per_sec"] < step_s)
+            return {k: (round(v, 3) if isinstance(v, float) else v) for k, v in host.items()}
+
+        section("host_collate", _host)
 
 
 if __name__ == "__main__":
