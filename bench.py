@@ -22,6 +22,11 @@ position: step_ms, modeled TFLOPs, MFU vs the chip's bf16 peak.
 * full-vocab evaluation throughput with the candidate cache,
 * host batch-construction throughput vs device step time (is the input
   pipeline fast enough to feed the chip?).
+
+Report output format: stdout still carries exactly the one driver-contract
+JSON line; each report section is then written to **stderr as its own JSON
+object** (a stream of objects, one per section — parse with a streaming
+decoder or per-section, not one json.loads over the whole stream).
 """
 
 from __future__ import annotations
