@@ -85,7 +85,10 @@ def main(args: Dict[str, Any]) -> Trainer:
             args = merge_resume_config(args, ckpt_meta["config"])
 
     save_path = setup_dirs(args, time_stamp)
-    setup_logging(os.path.join(save_path, f"log_{time_stamp}.txt"))
+    # ranks share one experiment_dir: each gets its own log file (rank 0
+    # keeps the plain name), while results.csv/checkpoints are rank-0-only
+    rank_suffix = f".p{jax.process_index()}" if jax.process_count() > 1 else ""
+    setup_logging(os.path.join(save_path, f"log_{time_stamp}{rank_suffix}.txt"))
     logger.info("saving to %s", save_path)
 
     seed = int(args.get("seed") or 0)
@@ -147,12 +150,12 @@ def main(args: Dict[str, Any]) -> Trainer:
             trainer.run()
         except KeyboardInterrupt:
             logger.info("interrupted; flushing results")
-            trainer.results.save()
+            trainer.save_results()
     elif args.get("evaluate"):
         results = trainer.evaluate()
         logger.info("TEST RESULTS: %s", results.averages)
         scores_file = args.get("evaluate_scores_file")
-        if scores_file:
+        if scores_file and jax.process_index() == 0:
             row = {
                 "config": args.get("config_file"),
                 "model": args.get("model"),

@@ -168,8 +168,10 @@ class BatchBuilder:
         host_shard: Optional[Tuple[int, int]] = None,
     ):
         """``host_shard=(host_id, num_hosts)`` gives each host a disjoint
-        1/num_hosts slice of every (identically seeded) shuffled epoch — the
-        per-host input pipeline for multi-host data parallelism."""
+        strided 1/num_hosts slice of every (identically seeded) shuffled
+        epoch — the per-host input pipeline for multi-host data parallelism
+        and host-sharded evaluation.  The strided split covers every record
+        (no tail is dropped), which eval correctness requires."""
         self.ds = dataset
         self.rec: PrefixRecords = dataset.records
         self.meta = dataset.meta
@@ -194,7 +196,8 @@ class BatchBuilder:
     def __len__(self) -> int:
         n = len(self.rec)
         if self.host_shard is not None:
-            n = n // self.host_shard[1]
+            host_id, num_hosts = self.host_shard
+            n = len(range(host_id, n, num_hosts))
         b = self.batch_size
         return n // b if self.drop_last else -(-n // b)
 
@@ -219,8 +222,7 @@ class BatchBuilder:
             self.rng.shuffle(order)
         if self.host_shard is not None:
             host_id, num_hosts = self.host_shard
-            per_host = len(order) // num_hosts
-            order = order[host_id * per_host : (host_id + 1) * per_host]
+            order = order[host_id::num_hosts]
         b = self.batch_size
         limit = (len(order) // b) * b if self.drop_last else len(order)
         starts = range(0, limit, b)

@@ -249,7 +249,15 @@ class KGEModel:
         number of map iterations (measured 390s at 37 chunks vs 14s at 5
         chunks for the same workload), while execution is sub-second either
         way.  32768 bounds per-chunk activations to ~1.4GB at d=512."""
-        cache_key = ("enc_all", chunk_size, id(mesh))
+        # key on mesh *identity data*, not id(mesh): id() of a dead mesh can
+        # be reused by a new object, silently serving a stale-mesh program
+        mesh_key = None
+        if mesh is not None:
+            mesh_key = (
+                tuple(mesh.shape.items()),
+                tuple(d.id for d in mesh.devices.flat),
+            )
+        cache_key = ("enc_all", chunk_size, mesh_key)
         cached = self.__dict__.setdefault("_jit_cache", {}).get(cache_key)
         if cached is not None:
             return cached(variables)

@@ -17,8 +17,10 @@ n-process run bit-identical to the 1-process run on the same global mesh
 loss curves be compared across pod-slice sizes.
 
 Evaluation sharding is different: eval prefixes are independent, so hosts
-evaluate disjoint slices (``BatchBuilder(host_shard=...)``) and the summed
-metric vectors are reduced across processes at the end.
+evaluate disjoint slices (``BatchBuilder(host_shard=...)``) on a host-local
+sub-mesh (:func:`local_eval_mesh` + :func:`variables_to_host_local`) and
+the summed metric vectors are reduced with :func:`all_processes_sum` at the
+end — wired in Trainer.evaluate, asserted by tests/test_multihost.py.
 """
 
 from __future__ import annotations
@@ -89,6 +91,48 @@ def put_global_batch(batch_arrays: Dict[str, Any], shardings: Dict[str, Any]) ->
         # would instead CONCATENATE per-process data into a larger global)
         out[k] = jax.make_array_from_callback(arr.shape, sh, lambda idx, a=arr: a[idx])
     return out
+
+
+def local_eval_mesh(global_mesh) -> Optional[Any]:
+    """Host-local sub-mesh for per-host evaluation, or None.
+
+    Valid when every model-axis group (one row of the mesh's
+    ``[data, model]`` device array) is owned by a single process — the
+    ``default_mesh`` layout puts the model axis within a host and the data
+    axis across hosts, so this process's local devices form complete model
+    groups and hold a full copy of every (model-sharded or replicated)
+    parameter.  Evaluation then runs host-locally with no cross-host
+    collectives, each host covering a disjoint slice of the eval set.
+
+    Returns None in single-process runs or when model groups span hosts
+    (fall back to replicated evaluation on the global mesh).
+    """
+    if jax.process_count() == 1:
+        return None
+    from jax.sharding import Mesh
+
+    dev = np.asarray(global_mesh.devices)
+    pid = jax.process_index()
+    local_rows = []
+    for row in dev:
+        procs = {d.process_index for d in np.atleast_1d(row)}
+        if len(procs) != 1:
+            return None  # a model group spans hosts; can't evaluate locally
+        if procs.pop() == pid:
+            local_rows.append(np.atleast_1d(row))
+    if not local_rows:
+        return None
+    return Mesh(np.stack(local_rows), global_mesh.axis_names)
+
+
+def variables_to_host_local(tree: Any, global_mesh, shardings: Any) -> Any:
+    """Convert globally-sharded arrays to host-local arrays (each process's
+    complete copy, viewing only its own shards).  Only meaningful under a
+    mesh accepted by :func:`local_eval_mesh`."""
+    from jax.experimental import multihost_utils
+
+    pspecs = jax.tree_util.tree_map(lambda s: s.spec, shardings)
+    return multihost_utils.global_array_to_host_local_array(tree, global_mesh, pspecs)
 
 
 def all_processes_sum(x: np.ndarray) -> np.ndarray:

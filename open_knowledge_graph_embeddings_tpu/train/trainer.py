@@ -171,12 +171,41 @@ class Trainer:
         self._rebuild_steps()
 
         self.train_builder = BatchBuilder(train_dataset, seed=seed)
+
+        # host-sharded evaluation: when every model-axis group of the mesh is
+        # process-local (the default layout), each host evaluates a disjoint
+        # strided slice of the eval set on a host-local sub-mesh and the
+        # metric sums are reduced across processes at the end of evaluate()
+        self._local_eval_mesh = None
+        val_shard = None
+        if self.process_count > 1:
+            from open_knowledge_graph_embeddings_tpu.parallel.distributed import (
+                local_eval_mesh,
+            )
+
+            self._local_eval_mesh = local_eval_mesh(self.mesh)
+            if self._local_eval_mesh is not None:
+                val_shard = (self.process_index, self.process_count)
+                logger.info(
+                    "host-sharded eval: local mesh %s, shard %s",
+                    dict(self._local_eval_mesh.shape), val_shard,
+                )
+            else:
+                logger.warning(
+                    "model-axis groups span hosts; evaluation runs replicated"
+                )
         self.val_builder = (
-            BatchBuilder(validation_dataset) if validation_dataset is not None else None
+            BatchBuilder(validation_dataset, host_shard=val_shard)
+            if validation_dataset is not None
+            else None
         )
 
         self._eval_batches_cache = None
         self.ckpt = CheckpointManager(save_path, keep_checkpoints)
+        # every rank tracks result rows (they feed checkpoint meta and the
+        # early-stopping state, which must stay in lockstep), but only rank 0
+        # writes results.csv — a shared experiment_dir must not be clobbered
+        # by concurrent ranks (same policy as checkpoint writes below)
         self.results = ResultsLog(f"{save_path}/results.csv")
         self.save_path = save_path
 
@@ -260,6 +289,19 @@ class Trainer:
         from open_knowledge_graph_embeddings_tpu.parallel.distributed import put_global_batch
 
         return put_global_batch(arrays, train_batch_shardings(arrays, self.mesh))
+
+    def _put_eval_batch(self, arrays, eval_mesh):
+        """Place an eval batch for the mesh it will run under.  Host-sharded
+        eval runs on the host-local sub-mesh — every device is addressable,
+        so a plain sharded device_put suffices (no cross-process global
+        arrays)."""
+        if eval_mesh is None:
+            return arrays
+        if eval_mesh is self.mesh:
+            return self._put_batch(arrays)
+        from open_knowledge_graph_embeddings_tpu.parallel import train_batch_shardings
+
+        return jax.device_put(arrays, train_batch_shardings(arrays, eval_mesh))
 
     def _hp(self):
         return [{k: jnp.float32(v) for k, v in h.items()} for h in self.regimes.hparams()]
@@ -369,16 +411,33 @@ class Trainer:
 
     # ------------------------------------------------------------------- eval
 
-    def _candidate_cache(self):
+    def _candidate_cache(self, variables, mesh):
         """Precompute the [N, d] candidate matrix for token embedders at
         full-vocab eval (reference: openkge/model.py:670-712)."""
         ds = self.validation_dataset
         if ds is None or ds.use_batch_shared_entities:
             return None
         if isinstance(self.model.embedder, TokenEmbedderBase):
-            all_emb = self.model.encode_all_entities(self.variables, mesh=self.mesh)
+            all_emb = self.model.encode_all_entities(variables, mesh=mesh)
             return all_emb[self.model.meta.min_entities_size :]
         return None
+
+    def _eval_context(self):
+        """(variables, mesh) the eval step should run under: host-local views
+        on the host-local sub-mesh when eval is host-sharded, else the
+        training placement."""
+        if self._local_eval_mesh is None:
+            return self.variables, self.mesh
+        from open_knowledge_graph_embeddings_tpu.parallel import variables_shardings
+        from open_knowledge_graph_embeddings_tpu.parallel.distributed import (
+            variables_to_host_local,
+        )
+
+        local = variables_to_host_local(
+            self.variables, self.mesh, variables_shardings(self.variables, self.mesh)
+        )
+        local = jax.device_put(local, variables_shardings(local, self._local_eval_mesh))
+        return local, self._local_eval_mesh
 
     def _eval_batches(self, builder: BatchBuilder):
         """Eval batches are deterministic: build once, pad to a common shape
@@ -392,11 +451,16 @@ class Trainer:
             )
         return self._eval_batches_cache
 
+    #: order of the host-side eval accumulation vector: the 7 packed device
+    #: stats (count, summed rank metrics, loss_sum, normalizer_metric) plus
+    #: the host-side loss normalizer
+    _EVAL_SUM_KEYS = ("count", "mrr", "mr", "h50", "h10", "h3", "h1", "loss_sum")
+
     def evaluate(self, builder: Optional[BatchBuilder] = None) -> MetricResult:
         builder = builder or self.val_builder
         assert builder is not None, "no validation dataset"
-        result = MetricResult()
-        cand_emb = self._candidate_cache()
+        eval_vars, eval_mesh = self._eval_context()
+        cand_emb = self._candidate_cache(eval_vars, eval_mesh)
         t0 = time.time()
         log_preds = bool(self.args.get("log_predictions"))
         if log_preds and self._eval_step_topk is None:
@@ -407,30 +471,33 @@ class Trainer:
         step_fn = self._eval_step_topk if log_preds else self.eval_step
         pred_file = None
         if log_preds:
+            suffix = f".p{self.process_index}" if self.process_count > 1 else ""
             pred_file = open(
-                f"{self.save_path}/predictions_step{self.training_steps}.tsv", "w"
+                f"{self.save_path}/predictions_step{self.training_steps}{suffix}.tsv", "w"
             )
             pred_file.write("direction\tent_id\trel_id\ttop_entity_ids\ttop_scores\n")
+        # local sums, reduced across processes at the end (host-sharded eval)
+        sums = np.zeros(len(self._EVAL_SUM_KEYS) + 1, dtype=np.float64)
+        n_batches = 0
         pending = []  # (async device stats, normalizer_loss, optional pred payload)
 
         def drain():
             for packed, normalizer_loss, preds in pending:
                 stats = unpack_eval_stats(packed)
-                cnt = int(stats["count"])
-                if cnt > 0:
-                    for m in ("mrr", "mr", "h1", "h3", "h10", "h50"):
-                        result[m].update(stats[m] / cnt, cnt)
-                result["loss"].update(stats["loss_sum"] / normalizer_loss, normalizer_loss)
+                for j, k in enumerate(self._EVAL_SUM_KEYS):
+                    sums[j] += stats[k]
+                sums[-1] += normalizer_loss
                 if preds is not None:
                     self._write_predictions(pred_file, *preds)
             pending.clear()
 
         for batch in self._eval_batches(builder):
-            arrays = self._put_batch(eval_batch_to_arrays(batch))
+            arrays = self._put_eval_batch(eval_batch_to_arrays(batch), eval_mesh)
+            n_batches += 1
             if cand_emb is not None:
-                out = step_fn(self.variables, arrays, cand_emb)
+                out = step_fn(eval_vars, arrays, cand_emb)
             else:
-                out = step_fn(self.variables, arrays)
+                out = step_fn(eval_vars, arrays)
             if log_preds:
                 packed, top_scores, top_cols = out
                 preds = (batch, top_scores, top_cols)
@@ -446,9 +513,24 @@ class Trainer:
         if pred_file is not None:
             pred_file.close()
             logger.info("wrote predictions to %s", pred_file.name)
+        if self.process_count > 1:
+            from open_knowledge_graph_embeddings_tpu.parallel.distributed import (
+                all_processes_sum,
+            )
+
+            sums = all_processes_sum(sums)
+        totals = dict(zip(self._EVAL_SUM_KEYS, sums))
+        result = MetricResult()
+        cnt = totals["count"]
+        if cnt > 0:
+            for m in ("mrr", "mr", "h1", "h3", "h10", "h50"):
+                result[m].update(totals[m] / cnt, cnt)
+        norm_loss = sums[-1]
+        if norm_loss > 0:
+            result["loss"].update(totals["loss_sum"] / norm_loss, norm_loss)
         logger.info(
-            "EVALUATING - EPOCH [%3d]  time: %7.3f  METRICS  %s",
-            self.epoch, time.time() - t0, result.averages,
+            "EVALUATING - EPOCH [%3d]  time: %7.3f  local batches: %d  METRICS  %s",
+            self.epoch, time.time() - t0, n_batches, result.averages,
         )
         return result
 
@@ -558,7 +640,7 @@ class Trainer:
                     wait=False,
                 )
             self.results.add(**row)
-            self.results.save()
+            self.save_results()
 
         while self.epoch < epochs and not self.terminate:
             train_result = self.train_epoch(val_hook=val_hook)
@@ -572,13 +654,18 @@ class Trainer:
                 eval_epoch_freq and self.epoch % eval_epoch_freq == 0
             ):
                 val_hook(last_step_of_epoch=True)
-            self.results.save()
+            self.save_results()
         # always leave a resumable checkpoint at the end of a run
         if self.training_steps > 0:
             self.save()
         self.ckpt.wait()
 
     # ---------------------------------------------------------- persistence
+
+    def save_results(self):
+        """Write results.csv (rank 0 only — ranks share one experiment_dir)."""
+        if self.process_index == 0:
+            self.results.save()
 
     def save(self, is_best=False, tags=None, save_all=False, wait=True):
         """Checkpoint now.  ``wait=False`` (used by the in-loop save sites)
@@ -663,7 +750,7 @@ class Trainer:
         prior_rows = meta.get("results")
         if prior_rows:
             self.results.rows = list(prior_rows)
-            self.results.save()
+            self.save_results()
         if freeze_param:
             patterns = [freeze_param] if isinstance(freeze_param, str) else list(freeze_param)
             new = [p for p in patterns if p not in self.regimes.frozen_patterns]

@@ -7,6 +7,10 @@ Runs the CLI training entry point on a 2x2 (data x model) mesh built from
 connects via jax.distributed (exercising the OKET_* env wiring of
 cli/train.py); with NPROC=1 a single process owns all 4.  Both must produce
 identical training results (tests/test_multihost.py asserts it).
+
+All ranks share ONE experiment dir (EXP_DIR): rank 0 owns results.csv and
+checkpoints, every rank writes its own log file, and evaluation is
+host-sharded (each rank evaluates a disjoint slice; metric sums reduced).
 """
 
 import os
@@ -59,9 +63,10 @@ args.update(
     optimization_config={"optimizer": "Adagrad", "epoch": 0, "lr": 0.3,
                          "weight_decay": 1e-10},
     train_data_config=train_cfg,
-    val_data_config={"input_file": "valid.txt", "batch_size": 4,
+    # eval batch_size 1 so host-sharded eval distributes >1 batch per rank
+    val_data_config={"input_file": "valid.txt", "batch_size": 1,
                      "use_batch_shared_entities": False},
-    test_data_config={"input_file": "test.txt", "batch_size": 4,
+    test_data_config={"input_file": "test.txt", "batch_size": 1,
                       "use_batch_shared_entities": False},
 )
 trainer = main(args)
@@ -70,4 +75,9 @@ assert trainer.mesh is not None and dict(trainer.mesh.shape) == {"data": 2, "mod
 )
 if nproc > 1:
     assert trainer.process_count == nproc
-print(f"WORKER_OK pid={pid} steps={trainer.training_steps}")
+    # the 2x2 mesh keeps model groups process-local -> host-sharded eval on
+    assert trainer._local_eval_mesh is not None
+    assert dict(trainer._local_eval_mesh.shape) == {"data": 1, "model": 2}
+    assert trainer.val_builder.host_shard == (pid, nproc)
+print(f"WORKER_OK pid={pid} steps={trainer.training_steps} "
+      f"eval_batches_per_pass={len(trainer.val_builder)}")

@@ -208,3 +208,41 @@ def test_sparse_step_matches_single_device_on_mesh(toy_dataset_dir):
             np.asarray(o1[t]["sum"]), np.asarray(o2[t]["sum"]),
             rtol=1e-5, atol=1e-6, err_msg=f"{t} accumulator",
         )
+
+
+def test_encode_all_entities_mesh_cache_key(toy_dataset_dir):
+    """The compiled-encoder cache must key on mesh identity DATA: a dead
+    mesh's id() can be reused by a new object at the same address, which
+    previously served a stale-mesh program.  Same-shape same-device meshes
+    share an entry; different devices must not."""
+    from open_knowledge_graph_embeddings_tpu.data import OneToNMentionRelationDataset
+    from open_knowledge_graph_embeddings_tpu.models import build_model
+    from open_knowledge_graph_embeddings_tpu.parallel import make_mesh, variables_shardings
+
+    ds = OneToNMentionRelationDataset(
+        dataset_dir=toy_dataset_dir, input_file="train.txt", is_training_data=True,
+        batch_size=4,
+    )
+    model = build_model(
+        "LookupComplexRelationModel", ds.meta, entity_slot_size=8, init_std=0.1
+    )
+    variables = model.init(jax.random.key(0))
+
+    devs = jax.devices()
+    mesh_a = make_mesh(data=1, model=2, devices=devs[:2])
+    va = jax.device_put(variables, variables_shardings(variables, mesh_a))
+    out_a = np.asarray(model.encode_all_entities(va, mesh=mesh_a))
+    keys_after_a = set(model._jit_cache)
+
+    # rebuild an identical mesh: same identity data -> same cache entry
+    mesh_a2 = make_mesh(data=1, model=2, devices=devs[:2])
+    out_a2 = np.asarray(model.encode_all_entities(va, mesh=mesh_a2))
+    assert set(model._jit_cache) == keys_after_a
+    np.testing.assert_allclose(out_a, out_a2)
+
+    # same shape, DIFFERENT devices -> must be a distinct program
+    mesh_b = make_mesh(data=1, model=2, devices=devs[2:4])
+    vb = jax.device_put(variables, variables_shardings(variables, mesh_b))
+    out_b = np.asarray(model.encode_all_entities(vb, mesh=mesh_b))
+    assert len(model._jit_cache) == len(keys_after_a) + 1
+    np.testing.assert_allclose(out_a, out_b, rtol=1e-6)

@@ -1,18 +1,25 @@
-"""Multi-host data parallelism: a 2-process run (4 virtual CPU devices each,
-connected via jax.distributed/Gloo) must produce the same training result as
-the 1-process 8-device run on the identical 4x2 global mesh.
+"""Multi-host data parallelism: a 2-process run (2 virtual CPU devices each,
+connected via jax.distributed/Gloo) must produce the same training AND
+evaluation results as the 1-process run on the identical 4-device 2x2
+global mesh.
 
 This is the DCN story the reference lacks entirely (its only multi-device
-path is single-process DataParallel, openkge/trainer.py:143-145).
+path is single-process DataParallel, openkge/trainer.py:143-145).  Both
+ranks share ONE experiment dir: rank 0 owns results.csv + checkpoints,
+each rank writes its own log file, and evaluation is host-sharded — each
+rank evaluates a disjoint strided slice of the eval set on a host-local
+sub-mesh, with the metric sums reduced across processes.
 """
 
+import csv
+import glob
 import os
+import re
 import socket
 import subprocess
 import sys
 
 import numpy as np
-import pytest
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 WORKER = os.path.join(HERE, "multihost_worker.py")
@@ -26,7 +33,7 @@ def _free_port() -> int:
     return port
 
 
-def _start_workers(dataset_dir, exp_base, nproc, port, mode=""):
+def _start_workers(dataset_dir, exp_dir, nproc, port, mode=""):
     # worker output goes to FILES, never PIPEs: a full pipe buffer blocks a
     # worker mid-collective while its peer waits on it -> cross-process
     # deadlock (the workers log verbosely)
@@ -35,12 +42,11 @@ def _start_workers(dataset_dir, exp_base, nproc, port, mode=""):
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "OKET_COORDINATOR",
                         "OKET_NUM_PROCESSES", "OKET_PROCESS_ID")}
     for pid in range(nproc):
-        exp = f"{exp_base}-p{pid}"
-        log = open(f"{exp_base}-p{pid}.log", "w")
+        log = open(f"{exp_dir}-worker{pid}.log", "w")
         procs.append(
             (
                 subprocess.Popen(
-                    [sys.executable, WORKER, dataset_dir, exp, str(nproc), str(pid),
+                    [sys.executable, WORKER, dataset_dir, exp_dir, str(nproc), str(pid),
                      str(port)] + ([mode] if mode else []),
                     stdout=log, stderr=subprocess.STDOUT, env=env, text=True,
                 ),
@@ -69,33 +75,69 @@ def _final_params(exp_dir):
     return {k: z[k] for k in z.files if k.startswith("params/")}
 
 
+def _result_rows(exp_dir):
+    with open(os.path.join(exp_dir, "results.csv")) as f:
+        return list(csv.DictReader(f))
+
+
 def test_two_process_matches_single_process(toy_dataset_dir, tmp_path):
     # batch-shared mode: exercises negative top-up, candidate-space label
     # translation, and the replicated-collate multi-host input contract.
     # The single- and two-process runs launch concurrently (independent
     # process groups) — this host has few cores and worker startup dominates.
     mode = "batch_shared"
-    single = _start_workers(toy_dataset_dir, str(tmp_path / "single"), 1, _free_port(), mode)
-    multi = _start_workers(toy_dataset_dir, str(tmp_path / "multi"), 2, _free_port(), mode)
+    single_dir = str(tmp_path / "single")
+    multi_dir = str(tmp_path / "multi")  # ONE shared dir for both ranks
+    single = _start_workers(toy_dataset_dir, single_dir, 1, _free_port(), mode)
+    multi = _start_workers(toy_dataset_dir, multi_dir, 2, _free_port(), mode)
     _join_workers(single)
     _join_workers(multi)
 
-    p_single = _final_params(str(tmp_path / "single-p0"))
-    p_multi = _final_params(str(tmp_path / "multi-p0"))  # rank 0 writes
+    p_single = _final_params(single_dir)
+    p_multi = _final_params(multi_dir)  # rank 0 writes into the shared dir
     assert set(p_single) == set(p_multi)
     for k in p_single:
         np.testing.assert_allclose(p_single[k], p_multi[k], rtol=1e-5, atol=1e-6,
                                    err_msg=k)
 
-    # loss trajectories match too
-    import csv
+    # loss trajectories AND host-sharded eval metrics match the 1-process run
+    rows_single = _result_rows(single_dir)
+    rows_multi = _result_rows(multi_dir)
+    assert len(rows_single) == len(rows_multi) > 0
 
-    def losses(exp):
-        with open(os.path.join(exp, "results.csv")) as f:
-            return [float(r["training_loss"]) for r in csv.DictReader(f)
-                    if r.get("training_loss")]
+    def column(rows, key):
+        return [float(r[key]) for r in rows if r.get(key)]
 
-    l_single = losses(str(tmp_path / "single-p0"))
-    l_multi = losses(str(tmp_path / "multi-p0"))
-    assert len(l_single) == len(l_multi) > 0
-    np.testing.assert_allclose(l_single, l_multi, rtol=1e-5)
+    losses_s = column(rows_single, "training_loss")
+    losses_m = column(rows_multi, "training_loss")
+    assert len(losses_s) == len(losses_m) > 0
+    np.testing.assert_allclose(losses_s, losses_m, rtol=1e-5)
+    # eval ran (eval_epoch_freq=2) and the reduced sharded metrics equal the
+    # single-process full-set metrics (full-vocab eval: per-prefix stats are
+    # independent of batch grouping; only fp summation order differs)
+    for key in ("validation_mrr", "validation_h10", "validation_loss"):
+        col_s, col_m = column(rows_single, key), column(rows_multi, key)
+        assert len(col_s) == len(col_m) > 0, key
+        np.testing.assert_allclose(col_s, col_m, rtol=1e-5, err_msg=key)
+
+    # each rank owns a log file in the shared dir and evaluated roughly half
+    # the eval batches (toy valid split: 4 prefixes at eval batch 1 -> 2+2)
+    rank_logs = {}
+    for path in glob.glob(os.path.join(multi_dir, "log_*.txt")):
+        m = re.search(r"\.p(\d+)\.txt$", path)
+        rank_logs[int(m.group(1)) if m else 0] = open(path).read()
+    assert set(rank_logs) == {0, 1}, sorted(rank_logs)
+    single_log = open(glob.glob(os.path.join(single_dir, "log_*.txt"))[0]).read()
+
+    def eval_batch_counts(text):
+        return [int(m) for m in re.findall(r"local batches:\s*(\d+)", text)]
+
+    counts_single = eval_batch_counts(single_log)
+    assert counts_single and all(c == 4 for c in counts_single), counts_single
+    for rank, text in rank_logs.items():
+        counts = eval_batch_counts(text)
+        assert counts and all(c == 2 for c in counts), (rank, counts)
+
+    # rank 1 wrote no results.csv of its own anywhere (shared-dir hygiene:
+    # only the rank-0 copy exists, written once per save)
+    assert os.path.exists(os.path.join(multi_dir, "results.csv"))
