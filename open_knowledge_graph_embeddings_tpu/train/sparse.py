@@ -29,6 +29,13 @@ Supported optimizers for sparse tables: Adagrad and SGD(momentum=0) —
 the same set torch supports for sparse grads (modulo SparseAdam).
 Token-table sparsity additionally replaces the device-resident token-id
 buffers with batch-local remapped token matrices shipped from the host.
+
+Gradient accumulation composes with the sparse path
+(:func:`make_sparse_accum_steps`): the window's micro-batches share one
+union row space planned on the host (:meth:`SparsePlanBuilder.plan_window`),
+row gradients accumulate compactly, and the scatter update applies once —
+mirroring torch's accumulate-then-coalesce sparse-grad semantics
+(reference: openkge/trainer.py:229-246).
 """
 
 from __future__ import annotations
@@ -173,6 +180,95 @@ class SparsePlanBuilder:
             self._plan_lookup(d, batch)
         return d
 
+    # ------------------------------------------------ accumulation windows
+
+    def plan_window(self, batches) -> list:
+        """Plan a gradient-accumulation window: one UNION row space over all
+        micro-batches (reference analog: torch sparse grads accumulate
+        across backward calls and coalesce at optimizer.step,
+        openkge/trainer.py:229-246 + model.py:390-391).
+
+        Every returned array dict shares the identical ``sparse/T/uids`` /
+        ``valid`` (/``block_ids``) plan, so [U, d] row-gradient accumulators
+        allocated from the first micro-batch stay valid for the whole
+        window; each micro-batch's index arrays are remapped into the union
+        layout."""
+        ds = [train_batch_to_arrays(b) for b in batches]
+        if self.is_token:
+            self._window_token(ds, batches)
+        else:
+            self._window_lookup(ds, batches)
+        return ds
+
+    def _window_lookup(self, ds, batches) -> None:
+        meta = self.embedder.meta
+        if self.entity_sparse:
+            used = []
+            for b in batches:
+                assert b.candidate_ids is not None, (
+                    "entity-table sparsity requires batch-shared candidates"
+                )
+                used += [b.ent_ids, b.candidate_ids]
+            plan: Dict[str, Any] = {}
+            remap = self._pack_rows(
+                plan, "entity_embedding", np.unique(np.concatenate(used)),
+                meta.entities_size,
+            )
+            for d, b in zip(ds, batches):
+                d.update(plan)
+                if remap is not None:
+                    d["ent_ids"] = remap(b.ent_ids)
+                    d["candidate_ids"] = remap(b.candidate_ids)
+        plan = {}
+        remap = self._pack_rows(
+            plan, "relation_embedding",
+            np.unique(np.concatenate([b.rel_ids for b in batches])),
+            meta.relations_size,
+        )
+        for d, b in zip(ds, batches):
+            d.update(plan)
+            if remap is not None:
+                d["rel_ids"] = remap(b.rel_ids)
+
+    def _window_token(self, ds, batches) -> None:
+        meta = self.embedder.meta
+        if self.entity_sparse:
+            toks_list = []
+            for b in batches:
+                assert b.candidate_ids is not None, (
+                    "entity-token-table sparsity requires batch-shared candidates"
+                )
+                used = np.concatenate([b.ent_ids, b.candidate_ids])
+                toks_list.append(meta.entity_token_ids[used])
+            ut = np.union1d(
+                np.int32(0), np.concatenate([t.ravel() for t in toks_list])
+            )
+            plan: Dict[str, Any] = {}
+            remap = self._pack_rows(
+                plan, "entity_token_embedding", ut, meta.entity_tokens_size
+            )
+            for d, b, toks in zip(ds, batches, toks_list):
+                d.update(plan)
+                if remap is not None:
+                    B = len(b.ent_ids)
+                    d["ent_ids"] = np.arange(B, dtype=np.int32)
+                    d["candidate_ids"] = np.arange(
+                        B, B + len(b.candidate_ids), dtype=np.int32
+                    )
+                    d["sparse/buffers/entity_token_ids"] = remap(toks)
+        rtoks_list = [meta.relation_token_ids[b.rel_ids] for b in batches]
+        plan = {}
+        remap = self._pack_rows(
+            plan, "relation_token_embedding",
+            np.union1d(np.int32(0), np.concatenate([t.ravel() for t in rtoks_list])),
+            meta.relation_tokens_size,
+        )
+        for d, b, rtoks in zip(ds, batches, rtoks_list):
+            d.update(plan)
+            if remap is not None:
+                d["rel_ids"] = np.arange(len(b.rel_ids), dtype=np.int32)
+                d["sparse/buffers/relation_token_ids"] = remap(rtoks)
+
     def _plan_lookup(self, d: Dict[str, Any], batch: Batch) -> None:
         meta = self.embedder.meta
         if self.entity_sparse:
@@ -247,17 +343,9 @@ _SPARSE_RULES = {"Adagrad": _sparse_adagrad_rows, "SGD": _sparse_sgd_rows}
 # ------------------------------------------------------------------- step
 
 
-def make_sparse_train_step(
-    model: KGEModel,
-    regimes: OptimizerRegimes,
-    params_example,
-    entity_sparse: bool,
-    loss_type: str = "bce",
-    label_smoothing: float = 0.0,
-    grad_clip: Optional[float] = None,
-):
-    """Sparse analog of step.make_train_step; batches must come from a
-    :class:`SparsePlanBuilder` built with the same ``entity_sparse``."""
+def _resolve_sparse_tables(model, regimes, params_example, entity_sparse) -> Dict[str, int]:
+    """{table name -> regime label} for the sparse-eligible tables, with the
+    torch-parity optimizer restrictions enforced."""
     names = sparse_table_names(model.embedder, entity_sparse)
     labels = assign_regimes(params_example, regimes.matches, regimes.frozen_patterns)
     opt_names = regimes.opt_names()
@@ -277,6 +365,22 @@ def make_sparse_train_step(
                 merged.update(ph)
             if float(merged.get("momentum", 0.0)) != 0.0:
                 raise ValueError("sparse SGD requires momentum == 0")
+    return table_label
+
+
+def make_sparse_train_step(
+    model: KGEModel,
+    regimes: OptimizerRegimes,
+    params_example,
+    entity_sparse: bool,
+    loss_type: str = "bce",
+    label_smoothing: float = 0.0,
+    grad_clip: Optional[float] = None,
+):
+    """Sparse analog of step.make_train_step; batches must come from a
+    :class:`SparsePlanBuilder` built with the same ``entity_sparse``."""
+    table_label = _resolve_sparse_tables(model, regimes, params_example, entity_sparse)
+    opt_names = regimes.opt_names()
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(variables, opt_state, hparams, batch, rng):
@@ -339,3 +443,127 @@ def make_sparse_train_step(
         return new_variables, new_opt, stats
 
     return step
+
+
+def make_sparse_accum_steps(
+    model: KGEModel,
+    regimes: OptimizerRegimes,
+    params_example,
+    entity_sparse: bool,
+    loss_type: str = "bce",
+    label_smoothing: float = 0.0,
+    grad_clip: Optional[float] = None,
+):
+    """Gradient accumulation composed with row-sparse updates.
+
+    The reference composes these naturally: torch sparse grads accumulate
+    across ``backward`` calls and coalesce at ``optimizer.step``
+    (reference: openkge/trainer.py:229-246, model.py:390-391).  Here the
+    window's micro-batches share one UNION row space
+    (:meth:`SparsePlanBuilder.plan_window`): ``grad_step`` adds each
+    micro-batch's compact [U, d] row gradients into a window accumulator,
+    and ``apply_step`` runs the scatter-update rules once on the summed
+    rows — HBM traffic stays O(U_union * d) per window instead of O(V * d).
+
+    Returns ``(zero_acc, grad_step, apply_step)``:
+
+    * ``zero_acc(arrays)`` — fresh accumulator ``{"rows", "dense"}`` shaped
+      from a window micro-batch's plan,
+    * ``grad_step(variables, acc, arrays, rng) -> (variables, acc, stats)``,
+    * ``apply_step(variables, opt_state, acc, arrays, hparams)`` — ``arrays``
+      is any micro-batch of the SAME window (they share the plan).
+    """
+    table_label = _resolve_sparse_tables(model, regimes, params_example, entity_sparse)
+    opt_names = regimes.opt_names()
+
+    def _window_tables(arrays) -> Tuple[str, ...]:
+        return tuple(t for t in table_label if f"sparse/{t}/uids" in arrays)
+
+    def zero_acc(arrays):
+        sparse_tables = _window_tables(arrays)
+        rows = {
+            t: jnp.zeros(
+                (np.shape(arrays[f"sparse/{t}/uids"])[0], params_example[t].shape[1]),
+                jnp.float32,
+            )
+            for t in sparse_tables
+        }
+        dense = {
+            k: jax.tree_util.tree_map(jnp.zeros_like, v)
+            for k, v in params_example.items()
+            if k not in sparse_tables
+        }
+        return {"rows": rows, "dense": dense}
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def grad_step(variables, acc, batch, rng):
+        params, state = variables["params"], variables["state"]
+        buffers = dict(variables["buffers"])
+        for bk in ("entity_token_ids", "relation_token_ids"):
+            key = f"sparse/buffers/{bk}"
+            if key in batch:
+                buffers[bk] = batch[key]
+        sparse_tables = _window_tables(batch)
+        uids = {t: batch[f"sparse/{t}/uids"] for t in sparse_tables}
+        rows = {t: params[t][uids[t]] for t in sparse_tables}
+        dense = {k: v for k, v in params.items() if k not in sparse_tables}
+
+        def loss_fn(rows, dense):
+            v = {"params": {**dense, **rows}, "state": state, "buffers": buffers}
+            loss_sum, norm_metric, new_state, reg = prefix_loss(
+                model, v, batch, loss_type, label_smoothing, rng
+            )
+            backward = (loss_sum + reg) / batch["normalizer_loss"]
+            return backward, (new_state, loss_sum, norm_metric)
+
+        (g_rows, g_dense), (new_state, loss_sum, norm_metric) = jax.grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(rows, dense)
+        acc = {
+            "rows": {
+                t: acc["rows"][t] + g_rows[t].astype(jnp.float32) for t in sparse_tables
+            },
+            "dense": jax.tree_util.tree_map(jnp.add, acc["dense"], g_dense),
+        }
+        new_variables = {"params": params, "state": new_state, "buffers": variables["buffers"]}
+        stats = {"loss_sum": loss_sum, "normalizer_metric": norm_metric}
+        return new_variables, acc, stats
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def apply_step(variables, opt_state, acc, batch, hparams):
+        params = variables["params"]
+        sparse_tables = _window_tables(batch)
+        g_rows = acc["rows"]
+        g_dense = acc["dense"]
+        if grad_clip is not None and grad_clip > 0:
+            # clip the SUMMED window gradient, matching the dense
+            # accumulation path (step.make_accum_steps applies the regime's
+            # clip at apply time)
+            leaves = jax.tree_util.tree_leaves(g_dense) + jax.tree_util.tree_leaves(g_rows)
+            gnorm = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in leaves))
+            scale = jnp.minimum(1.0, grad_clip / (gnorm + 1e-6))
+            g_dense = jax.tree_util.tree_map(lambda g: g * scale, g_dense)
+            g_rows = {t: g * scale for t, g in g_rows.items()}
+        dense_apply = regimes.make_apply(
+            {k: v for k, v in params.items() if k not in sparse_tables}, grad_clip=None
+        )
+        dense = {k: v for k, v in params.items() if k not in sparse_tables}
+        dense_opt = {k: v for k, v in opt_state.items() if k not in sparse_tables}
+        new_dense, new_dense_opt = dense_apply(g_dense, dense_opt, dense, hparams)
+        new_params = dict(new_dense)
+        new_opt = dict(new_dense_opt)
+        for t in sparse_tables:
+            hp = hparams[table_label[t]]
+            rule = _SPARSE_RULES[opt_names[table_label[t]]]
+            new_params[t], new_opt[t] = rule(
+                g_rows[t],
+                batch[f"sparse/{t}/uids"],
+                batch[f"sparse/{t}/valid"],
+                params[t],
+                opt_state[t],
+                hp,
+                block_ids=batch.get(f"sparse/{t}/block_ids"),
+            )
+        return {**variables, "params": new_params}, new_opt
+
+    return zero_acc, grad_step, apply_step

@@ -136,14 +136,7 @@ class Trainer:
             )
 
             entity_sparse = bool(train_dataset.use_batch_shared_entities)
-            bsz = train_dataset.batch_size
-            bsfb = args.get("batch_size_for_backward") or train_dataset.batch_size_for_backward
-            if max(1, int(round((bsfb or bsz) / bsz))) > 1:
-                logger.warning(
-                    "sparse updates don't compose with gradient accumulation; using dense path"
-                )
-                self.sparse = False
-            elif not sparse_table_names(model.embedder, entity_sparse):
+            if not sparse_table_names(model.embedder, entity_sparse):
                 logger.warning("sparse=true has no sparse-capable tables; using dense path")
                 self.sparse = False
             else:
@@ -234,8 +227,13 @@ class Trainer:
         # (reference: openkge/trainer.py:229-246)
         self._acc_grads = None
         self._accum_i = 0
+        self._window_buf: List[Batch] = []  # sparse path: pending window batches
         if self.accum_steps > 1:
-            logger.info("gradient accumulation over %d micro-batches", self.accum_steps)
+            logger.info(
+                "gradient accumulation over %d micro-batches%s",
+                self.accum_steps,
+                " (row-sparse union-row windows)" if self.sparse else "",
+            )
 
     # ------------------------------------------------------------------ setup
 
@@ -263,14 +261,29 @@ class Trainer:
                 label_smoothing=self.label_smoothing,
                 grad_clip=self.grad_clip,
             )
-        self.zero_grads, self.grad_step, self.apply_step = make_accum_steps(
-            self.model,
-            self.regimes,
-            self.variables["params"],
-            loss_type=self.loss_type,
-            label_smoothing=self.label_smoothing,
-            grad_clip=self.grad_clip,
-        )
+        if self.sparse:
+            from open_knowledge_graph_embeddings_tpu.train.sparse import (
+                make_sparse_accum_steps,
+            )
+
+            self.zero_grads, self.grad_step, self.apply_step = make_sparse_accum_steps(
+                self.model,
+                self.regimes,
+                self.variables["params"],
+                entity_sparse=self._sparse_plan.entity_sparse,
+                loss_type=self.loss_type,
+                label_smoothing=self.label_smoothing,
+                grad_clip=self.grad_clip,
+            )
+        else:
+            self.zero_grads, self.grad_step, self.apply_step = make_accum_steps(
+                self.model,
+                self.regimes,
+                self.variables["params"],
+                loss_type=self.loss_type,
+                label_smoothing=self.label_smoothing,
+                grad_clip=self.grad_clip,
+            )
         self.eval_step = make_eval_step(self.model, self.loss_type, self.label_smoothing)
         self._eval_step_topk = None  # built lazily when log_predictions is set
 
@@ -340,16 +353,9 @@ class Trainer:
                 items_meter_n += float(n_pos)
             pending.clear()
 
-        # batch -> jit-ready arrays runs on the prefetch thread (the sparse
-        # plan does a unique+remap pass there)
-        to_arrays = self._sparse_plan if self.sparse else train_batch_to_arrays
-        transform = lambda b: (b, self._put_batch(to_arrays(b)))
         workers = int(self.args.get("workers", 8))  # reference: scripts/train.py:95
         for step_i, (batch, arrays) in enumerate(
-            self.train_builder.batches(
-                shuffle=True, prefetch=max(2, workers), transform=transform,
-                workers=workers,
-            )
+            self._iter_train_arrays(workers=workers, prefetch=max(2, workers))
         ):
             if profile_steps and self.training_steps == 1:
                 jax.profiler.start_trace(f"{self.save_path}/profile")
@@ -372,15 +378,27 @@ class Trainer:
                 )
             else:
                 if self._acc_grads is None:
-                    self._acc_grads = self.zero_grads()
+                    # the sparse accumulator is shaped by the window's
+                    # union-row plan; the dense one by the params alone
+                    self._acc_grads = (
+                        self.zero_grads(arrays) if self.sparse else self.zero_grads()
+                    )
                 self.variables, self._acc_grads, stats = self.grad_step(
                     self.variables, self._acc_grads, arrays, sub
                 )
                 self._accum_i += 1
                 if self._accum_i == self.accum_steps:
-                    self.variables, self.opt_state = self.apply_step(
-                        self.variables, self.opt_state, self._acc_grads, self._hp()
-                    )
+                    if self.sparse:
+                        # any micro-batch of the window carries the shared
+                        # union plan; the last one is in hand
+                        self.variables, self.opt_state = self.apply_step(
+                            self.variables, self.opt_state, self._acc_grads,
+                            arrays, self._hp(),
+                        )
+                    else:
+                        self.variables, self.opt_state = self.apply_step(
+                            self.variables, self.opt_state, self._acc_grads, self._hp()
+                        )
                     self._acc_grads = None
                     self._accum_i = 0
             pending.append((stats, batch.normalizer_loss))
@@ -408,6 +426,32 @@ class Trainer:
                 val_hook(last_step_of_epoch=False)
         drain_pending()
         return metric_result
+
+    def _iter_train_arrays(self, workers: int, prefetch: int):
+        """Yield ``(batch, device arrays)`` for one training pass.
+
+        Plain and per-batch-sparse modes convert on the prefetch threads
+        (the sparse plan does its unique+remap pass there).  Sparse +
+        gradient accumulation instead groups ``accum_steps`` batches into a
+        UNION-row window (SparsePlanBuilder.plan_window) — planning runs on
+        the consumer thread once per window, and a partial window at the
+        end of an epoch carries over to the next one (matching the dense
+        path's cross-epoch accumulation state)."""
+        if not (self.sparse and self.accum_steps > 1):
+            to_arrays = self._sparse_plan if self.sparse else train_batch_to_arrays
+            transform = lambda b: (b, self._put_batch(to_arrays(b)))
+            yield from self.train_builder.batches(
+                shuffle=True, prefetch=prefetch, transform=transform, workers=workers
+            )
+            return
+        for batch in self.train_builder.batches(
+            shuffle=True, prefetch=prefetch, workers=workers
+        ):
+            self._window_buf.append(batch)
+            if len(self._window_buf) == self.accum_steps:
+                window, self._window_buf = self._window_buf, []
+                for b, d in zip(window, self._sparse_plan.plan_window(window)):
+                    yield b, self._put_batch(d)
 
     # ------------------------------------------------------------------- eval
 

@@ -195,3 +195,91 @@ def test_small_tables_fall_back_to_dense_plan():
     step = make_sparse_train_step(model, regimes, variables["params"], entity_sparse=True)
     v, loss = _run_steps(model, variables, [batch], step, plan, n=1)
     assert np.isfinite(loss)
+
+
+@pytest.mark.parametrize("model_name,batch_shared", [
+    ("LookupComplexRelationModel", True),
+    ("LSTMComplexRelationModel", True),
+    ("LookupComplexRelationModel", False),  # relation table only
+])
+@pytest.mark.parametrize("layout", ["compact", "block"])
+def test_sparse_accumulation_matches_dense_accumulation(model_name, batch_shared, layout):
+    """Sparse updates composed with gradient accumulation (union-row
+    windows, sparse.make_sparse_accum_steps) == the dense accumulation path
+    (step.make_accum_steps), two windows of two micro-batches each.
+    Reference analog: torch sparse grads accumulate across backward calls
+    and coalesce at optimizer.step (openkge/trainer.py:229-246)."""
+    from open_knowledge_graph_embeddings_tpu.train.sparse import make_sparse_accum_steps
+    from open_knowledge_graph_embeddings_tpu.train.step import make_accum_steps
+
+    rng = np.random.default_rng(3)
+    meta = _synthetic_meta(entities=64, relations=16, ent_tokens=48, rel_tokens=24, max_len=6)
+    model = build_model(model_name, meta, entity_slot_size=16, init_std=0.1, dropout=0.0)
+    variables = model.init(jax.random.key(0))
+    regimes = OptimizerRegimes({"optimizer": "Adagrad", "lr": 0.2})
+    regimes.update(1, 0)
+    hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
+    batches = [_mk_batch(meta, rng, batch_shared=batch_shared) for _ in range(4)]
+    keys = [jax.random.key(50 + i) for i in range(4)]
+
+    # dense accumulation: 2 windows of 2 micro-batches
+    zero_d, gstep_d, astep_d = make_accum_steps(model, regimes, variables["params"])
+    v = jax.tree_util.tree_map(jnp.copy, variables)
+    opt = regimes.init_state(variables["params"])
+    for w in range(2):
+        acc = zero_d()
+        for j in range(2):
+            v, acc, _ = gstep_d(v, acc, train_batch_to_arrays(batches[2 * w + j]), keys[2 * w + j])
+        v, opt = astep_d(v, opt, acc, hp)
+    v_dense = v
+
+    # sparse accumulation over the same windows
+    plan = SparsePlanBuilder(model.embedder, entity_sparse=batch_shared,
+                             min_rows_ratio=0.0, layout=layout)
+    zero_s, gstep_s, astep_s = make_sparse_accum_steps(
+        model, regimes, variables["params"], entity_sparse=batch_shared
+    )
+    v = jax.tree_util.tree_map(jnp.copy, variables)
+    opt = regimes.init_state(variables["params"])
+    for w in range(2):
+        window = plan.plan_window(batches[2 * w : 2 * w + 2])
+        # the union plan is shared across the window's micro-batches
+        for t in ("entity_embedding", "relation_embedding",
+                  "entity_token_embedding", "relation_token_embedding"):
+            k = f"sparse/{t}/uids"
+            if k in window[0]:
+                assert window[0][k] is window[1][k]
+        acc = zero_s(window[0])
+        for j in range(2):
+            v, acc, _ = gstep_s(v, acc, window[j], keys[2 * w + j])
+        v, opt = astep_s(v, opt, acc, window[1], hp)
+    v_sparse = v
+
+    flat_d = jax.tree_util.tree_flatten_with_path(v_dense["params"])[0]
+    flat_s = dict(jax.tree_util.tree_flatten_with_path(v_sparse["params"])[0])
+    for kp, leaf in flat_d:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_s[kp]), rtol=2e-5, atol=2e-6,
+            err_msg=str(kp),
+        )
+
+
+def test_sparse_cli_with_accumulation_learns(toy_dataset_dir, tmp_path):
+    """sparse: true + batch_size_for_backward > batch_size trains through
+    the union-row window path (no dense fallback, the old warning is gone)."""
+    from tests.test_trainer import _toy_args
+    from open_knowledge_graph_embeddings_tpu.cli.train import main
+
+    args = _toy_args(
+        toy_dataset_dir, tmp_path, epochs=10, sparse_min_ratio=0.0,
+        batch_size_for_backward=4,
+        model_config={"entity_slot_size": 8, "init_std": 0.1, "sparse": True},
+        train_data_config={"input_file": "train.txt", "batch_size": 2,
+                           "use_batch_shared_entities": True, "min_size_batch_labels": 6},
+    )
+    trainer = main(args)
+    assert trainer.sparse, "sparse path must stay active with accumulation"
+    assert trainer.accum_steps == 2
+    rows = trainer.results.to_dicts()
+    losses = [r["training_loss"] for r in rows if "training_loss" in r]
+    assert losses[-1] < losses[0], "sparse+accum path must learn"
