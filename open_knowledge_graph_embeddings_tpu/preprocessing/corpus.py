@@ -2,9 +2,10 @@
 maps, triple aggregation (capabilities P2-P5 of the reference pipeline).
 
 * :func:`iter_opiec_triples` — streaming reader of OPIEC-Clean triples.
-  The avro backend is gated (the ``avro``/``fastavro`` libraries are not in
-  this image); a JSON-lines debug format with the same record fields is
-  always supported, mirroring the reference's filter semantics
+  Avro container files are read with fastavro when installed, else with
+  the self-contained spec implementation in ``preprocessing/avro.py`` (no
+  external dependency); a JSON-lines debug format with the same record
+  fields is also supported.  Filter semantics mirror the reference
   (reference: preprocessing/process_avro.py:16-80): confidence >= 0.3,
   POSITIVE polarity, quantity substitution, token length <= 10.
 * :func:`parse_redirects` — DBpedia ``redirects_en.ttl(.bz2)`` parsing with
@@ -157,10 +158,10 @@ def extract_opiec_triple(
         return None
 
     s_links = normalize_wiki_entity(
-        [w.get("w_link", {}).get("wiki_link") for w in subj]
+        [(w.get("w_link") or {}).get("wiki_link") for w in subj]
     )
     o_links = normalize_wiki_entity(
-        [w.get("w_link", {}).get("wiki_link") for w in obj]
+        [(w.get("w_link") or {}).get("wiki_link") for w in obj]
     )
 
     out = {
@@ -176,7 +177,8 @@ def extract_opiec_triple(
         "triple_id": rec.get("triple_id"),
         "article_id": rec.get("article_id"),
     }
-    sent = rec.get("sentence_linked", {}).get("tokens")
+    # "sentence_linked" may be PRESENT with a null value (avro union branch)
+    sent = (rec.get("sentence_linked") or {}).get("tokens")
     if sent:
         tag_of = {}
         for toks, tag in ((relation, "[REL]"), (subj, "[SUBJ]"), (obj, "[OBJ]")):
@@ -211,17 +213,15 @@ def iter_opiec_triples(
     for path in paths:
         if path.endswith(".avro"):
             try:
-                import fastavro  # type: ignore
-            except ImportError as e:  # pragma: no cover - gated dependency
-                raise ImportError(
-                    "reading OPIEC avro files needs the 'fastavro' package, which "
-                    "is not installed in this environment; convert the corpus to "
-                    "the JSON-lines debug format (one record per line with "
-                    "subject/relation/object token lists) or install fastavro"
-                ) from e
+                # fastavro (C-accelerated) when available ...
+                from fastavro import reader as avro_reader  # type: ignore
+            except ImportError:
+                # ... else the self-contained spec implementation
+                from open_knowledge_graph_embeddings_tpu.preprocessing.avro import (
+                    reader as avro_reader,
+                )
             with open(path, "rb") as f:
-                records = fastavro.reader(f)
-                yield from _iter_records(records, min_confidence, max_tokens)
+                yield from _iter_records(avro_reader(f), min_confidence, max_tokens)
         else:
             opener = bz2.open if path.endswith(".bz2") else open
             with opener(path, "rt", encoding="utf-8") as f:

@@ -21,6 +21,7 @@ decay), Adam, SGD(momentum, nesterov), RMSprop, Adadelta.
 from __future__ import annotations
 
 import logging
+import math
 import re
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -315,7 +316,10 @@ class OptimizerRegimes:
                             "ReduceLROnPlateau: regime %d lr_scale -> %g", ri, self.lr_scale[ri]
                         )
                 self._plateau_state[ri] = st
-            elif kind in ("StepLR", "MultiStepLR", "ExponentialLR"):
+            elif kind in (
+                "StepLR", "MultiStepLR", "ExponentialLR", "CosineAnnealingLR",
+                "CosineAnnealingWarmRestarts", "LinearLR", "PolynomialLR", "LambdaLR",
+            ):
                 # epoch-indexed schedulers: lr scale is a pure function of
                 # the epoch (torch closed-form with step(epoch))
                 if epoch is None:
@@ -326,16 +330,56 @@ class OptimizerRegimes:
                 elif kind == "MultiStepLR":
                     milestones = sorted(cfg.get("milestones", []))
                     scale = gamma ** sum(1 for m in milestones if epoch >= int(m))
-                else:  # ExponentialLR
+                elif kind == "ExponentialLR":
                     scale = gamma ** epoch
+                elif kind in ("CosineAnnealingLR", "CosineAnnealingWarmRestarts"):
+                    # torch closed form: eta_min + (base - eta_min) *
+                    # (1 + cos(pi * t / T)) / 2; eta_min is an absolute lr
+                    base = self._base_lr(ri)
+                    eta_min = float(cfg.get("eta_min", 0.0))
+                    if kind == "CosineAnnealingLR":
+                        t, T = epoch, int(cfg.get("T_max", 50))
+                    else:
+                        t, T = epoch, int(cfg.get("T_0", 10))
+                        t_mult = int(cfg.get("T_mult", 1))
+                        while t >= T:
+                            t -= T
+                            T = T * t_mult if t_mult > 1 else T
+                    lr = eta_min + (base - eta_min) * (1 + math.cos(math.pi * t / T)) / 2
+                    scale = lr / base if base else 1.0
+                elif kind == "LinearLR":
+                    start = float(cfg.get("start_factor", 1.0 / 3.0))
+                    end = float(cfg.get("end_factor", 1.0))
+                    total = max(1, int(cfg.get("total_iters", 5)))
+                    scale = start + (end - start) * (min(epoch, total) / total)
+                elif kind == "PolynomialLR":
+                    total = max(1, int(cfg.get("total_iters", 5)))
+                    power = float(cfg.get("power", 1.0))
+                    scale = (1.0 - min(epoch, total) / total) ** power
+                else:  # LambdaLR: factor expression of `epoch` (config analog
+                    # of torch's lr_lambda callable, which YAML cannot carry)
+                    expr = cfg.get("lr_lambda")
+                    assert expr, "LambdaLR needs an lr_lambda expression"
+                    scale = float(
+                        eval(expr, {"__builtins__": {}, "math": math}, {"epoch": epoch})
+                    )
                 if scale != self.lr_scale[ri]:
                     self.lr_scale[ri] = scale
                     logger.info("%s: regime %d lr_scale -> %g", kind, ri, scale)
             elif kind:
                 raise ValueError(
                     f"unsupported lr_scheduler {kind!r} (supported: ReduceLROnPlateau, "
-                    "StepLR, MultiStepLR, ExponentialLR)"
+                    "StepLR, MultiStepLR, ExponentialLR, CosineAnnealingLR, "
+                    "CosineAnnealingWarmRestarts, LinearLR, PolynomialLR, LambdaLR)"
                 )
+
+    def _base_lr(self, ri: int) -> float:
+        """The regime's current unscaled lr (merged over reached phases)."""
+        phase = self.current_phase[ri] or 0
+        merged: Dict = {}
+        for ph in self.regimes[ri][: phase + 1]:
+            merged.update(ph)
+        return float(merged.get("lr", 0.0))
 
     # -- device-side init/apply
 

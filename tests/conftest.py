@@ -6,10 +6,15 @@ time (pytest imports conftest before test modules import jax).
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override axon: tests run on a CPU mesh
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+# OKET_TPU_TESTS=1 leaves the real TPU backend registered so the
+# device-marked tests (`pytest -m tpu`) can exercise Mosaic lowering paths
+# the CPU interpreter cannot (e.g. ragged final Pallas blocks).
+_ON_DEVICE = bool(os.environ.get("OKET_TPU_TESTS"))
+if not _ON_DEVICE:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # override axon: tests run on a CPU mesh
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 # The container's sitecustomize force-registers the axon TPU backend before
@@ -17,7 +22,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 # jax.config before any backend initializes.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_DEVICE:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

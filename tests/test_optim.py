@@ -198,8 +198,59 @@ def test_unknown_scheduler_rejected():
 
     regimes = OptimizerRegimes(
         {"optimizer": "SGD", "lr": 1.0},
-        lr_scheduler_config={"lr_scheduler": "CosineAnnealingLR"},
+        lr_scheduler_config={"lr_scheduler": "OneCycleLR"},  # step-scoped; unsupported
     )
     regimes.update(1, 0)
     with pytest.raises(ValueError):
         regimes.lr_scheduler_step(0.0, epoch=1)
+
+
+def test_cosine_linear_polynomial_lambda_schedulers():
+    """The round-3 scheduler additions match torch's closed forms."""
+    import math
+
+    for kind, cfg, expect in (
+        ("CosineAnnealingLR", {"T_max": 10, "eta_min": 0.0},
+         {0: 1.0, 5: 0.5, 10: 0.0}),
+        ("CosineAnnealingLR", {"T_max": 10, "eta_min": 0.5},
+         {0: 1.0, 5: 0.75, 10: 0.5}),
+        ("CosineAnnealingWarmRestarts", {"T_0": 4, "T_mult": 1},
+         {0: 1.0, 2: 0.5, 4: 1.0, 6: 0.5}),
+        ("LinearLR", {"start_factor": 0.5, "end_factor": 1.0, "total_iters": 4},
+         {0: 0.5, 2: 0.75, 4: 1.0, 9: 1.0}),
+        ("PolynomialLR", {"total_iters": 4, "power": 1.0},
+         {0: 1.0, 1: 0.75, 4: 0.0, 6: 0.0}),
+        ("LambdaLR", {"lr_lambda": "0.5 ** epoch"}, {0: 1.0, 1: 0.5, 3: 0.125}),
+    ):
+        regimes = OptimizerRegimes(
+            {"optimizer": "SGD", "lr": 1.0},
+            lr_scheduler_config={"lr_scheduler": kind, **cfg},
+        )
+        regimes.update(1, 0)
+        for epoch, scale in expect.items():
+            regimes.lr_scheduler_step(0.0, epoch=epoch)
+            assert abs(regimes.hparams()[0]["lr"] - scale) < 1e-9, (kind, epoch)
+
+
+def test_cosine_scheduler_matches_torch():
+    torch = __import__("pytest").importorskip("torch")
+    base_lr = 0.2
+    m = torch.nn.Linear(2, 2)
+    opt = torch.optim.SGD(m.parameters(), lr=base_lr)
+    sched = torch.optim.lr_scheduler.CosineAnnealingLR(opt, T_max=7, eta_min=0.01)
+    regimes = OptimizerRegimes(
+        {"optimizer": "SGD", "lr": base_lr},
+        lr_scheduler_config={"lr_scheduler": "CosineAnnealingLR",
+                             "T_max": 7, "eta_min": 0.01},
+    )
+    regimes.update(1, 0)
+    for epoch in range(12):
+        # torch closed-form stepping via explicit epoch (deprecated API but
+        # exactly the semantics the reference relies on: step(metric, epoch))
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            sched.step(epoch)
+        regimes.lr_scheduler_step(0.0, epoch=epoch)
+        ours = regimes.hparams()[0]["lr"]
+        assert abs(ours - opt.param_groups[0]["lr"]) < 1e-7, epoch

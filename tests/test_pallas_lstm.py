@@ -94,10 +94,12 @@ class TestPallasAdagrad:
         np.testing.assert_allclose(np.asarray(new_acc), np.asarray(want_acc), rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(new_p), np.asarray(want_p), rtol=1e-5, atol=1e-6)
 
+    @pytest.mark.tpu
     @pytest.mark.skipif(
         jax.default_backend() not in ("tpu", "axon"),
         reason="ragged final blocks need real Mosaic lowering (the "
-        "interpreter pads output shapes); verified on-device",
+        "interpreter pads output shapes); run with "
+        "OKET_TPU_TESTS=1 python -m pytest -m tpu tests/",
     )
     def test_kernel_ragged_height(self):
         """Non-512-divisible table heights (FB15k-237: 14541 rows; relation

@@ -172,10 +172,13 @@ def test_opiec_jsonl_filters(tmp_path):
     assert got[1]["subject"] == ["QUANT", "cats"]
 
 
-def test_avro_requires_fastavro(tmp_path):
+def test_avro_built_in_reader_used_without_fastavro(tmp_path):
+    """With fastavro absent, .avro paths go through the self-contained
+    reader (preprocessing/avro.py) — a malformed file surfaces its error,
+    not an ImportError."""
     p = tmp_path / "x.avro"
-    p.write_bytes(b"")
-    with pytest.raises(ImportError, match="fastavro"):
+    p.write_bytes(b"not-an-avro-file")
+    with pytest.raises((ValueError, EOFError)):
         list(iter_opiec_triples([str(p)]))
 
 
