@@ -38,12 +38,20 @@ import time
 
 import numpy as np
 
+from typing import Optional
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# OLPBench-shaped workload (entity vocab scaled 2.47M -> 500k to fit the
-# single chip alongside Adagrad state; per-step compute is candidate-bound,
-# not vocab-bound, so items/s is representative)
-ENTITIES = 500_000
+# OLPBench workload at the TRUE paper shape: 2.47M mentions, 200k/50k token
+# vocabularies.  Tables are token-indexed, so the mention count only sizes
+# the [E, 10] id matrix (~100 MB); the sparse update path keeps optimizer
+# traffic O(touched rows).  Token-id matrices and batch id draws follow the
+# synthetic-OLPBench generator's Zipf distributions
+# (tools/make_synth_olpbench.py: mention lengths ~ zipf 1.6, token ids ~
+# zipf 1.2, mention popularity ~ zipf 1.3, relations ~ zipf 1.1) — the
+# realistic operating point; --report also covers the adversarial
+# uniform-token case.
+ENTITIES = 2_470_000
 RELATIONS = 50_000
 ENT_TOKENS = 200_000
 REL_TOKENS = 50_000
@@ -75,32 +83,80 @@ def chip_peaks():
     return kind, (None, None)
 
 
-def flagship_flops_per_step() -> float:
+def flagship_flops_per_step(ent_tokens: Optional[int] = None, rel_tokens: Optional[int] = None) -> float:
     """Modeled FLOPs of one flagship train step (fwd + bwd ~ 3x fwd).
 
-    LSTM: 16*d^2 FLOPs/token (4 gates x two d*d matmuls, mul+add);
-    entity LSTM runs over B prefix + N candidate sequences, relation LSTM
-    over B sequences; scoring is one [B,d]x[d,N] matmul (2*B*N*d)."""
-    lstm_entity = (BATCH + CANDS) * MAX_LEN * 16 * D * D
-    lstm_relation = BATCH * MAX_LEN * 16 * D * D
+    LSTM: 16*d^2 FLOPs/token (4 gates x two d*d matmuls, mul+add) over the
+    EXECUTED (non-pad) token counts — the length-sorted fused kernels skip
+    pad steps, so counting MAX_LEN positions would overstate useful work.
+    Scoring is one [B,d]x[d,N] matmul (2*B*N*d).  Pass the batch's actual
+    token counts; defaults assume full-length sequences (the padded upper
+    bound, reported separately as mfu_padded)."""
+    ent_tokens = (BATCH + CANDS) * MAX_LEN if ent_tokens is None else ent_tokens
+    rel_tokens = BATCH * MAX_LEN if rel_tokens is None else rel_tokens
+    lstm = (ent_tokens + rel_tokens) * 16 * D * D
     score = 2 * BATCH * CANDS * D
-    forward = lstm_entity + lstm_relation + score
+    forward = lstm + score
     return 3.0 * forward  # backward of matmul-dominated graphs ~ 2x forward
 
 
-def build_batch(rng, positives_per_row=1.07):
+def zipf_tok_matrix(rng, n, vocab, max_len=MAX_LEN, len_s=1.6, tok_s=1.2):
+    """Token-id matrix with the synthetic-OLPBench generator's Zipf length
+    and token-frequency distributions (tools/make_synth_olpbench.py)."""
+    lens = 1 + (rng.zipf(len_s, size=n) - 1) % (max_len - 2)
+    body = (4 + ((rng.zipf(tok_s, size=(n, max_len)) - 1) % (vocab - 4))).astype(np.int32)
+    pos = np.arange(max_len)[None, :]
+    m = np.where(pos == 0, 2, body)  # BOS
+    m = np.where(pos == lens[:, None] + 1, 3, m)  # EOS
+    m = np.where(pos > lens[:, None] + 1, 0, m)  # PAD tail
+    m[:2] = 0
+    m[:2, 0] = 1  # specials -> UNK token
+    return m.astype(np.int32)
+
+
+def uniform_tok_matrix(rng, n, vocab, max_len=MAX_LEN):
+    """Adversarial variant: per-position uniform token ids (~every position
+    a distinct table row), uniform lengths."""
+    lens = rng.integers(1, max_len - 1, size=n)
+    body = rng.integers(4, vocab, size=(n, max_len)).astype(np.int32)
+    pos = np.arange(max_len)[None, :]
+    m = np.where(pos == 0, 2, body)
+    m = np.where(pos == lens[:, None] + 1, 3, m)
+    m = np.where(pos > lens[:, None] + 1, 0, m)
+    m[:2] = 0
+    m[:2, 0] = 1
+    return m.astype(np.int32)
+
+
+def build_batch(rng, positives_per_row=1.07, zipf_ids=True):
+    """Flagship batch.  ``zipf_ids`` draws prefix entities / candidates /
+    relations with the generator's popularity skew; candidates are unique
+    first-seen + uniform no-replacement top-up, the builder contract
+    (data/batching.py:_build_batch_shared)."""
     P_real = int(BATCH * positives_per_row)
     P = 8192
     pos_rows = np.full(P, -1, np.int32)
     pos_cols = np.full(P, -1, np.int32)
     pos_rows[:P_real] = rng.integers(0, BATCH, P_real)
     pos_cols[:P_real] = rng.integers(0, CANDS, P_real)
+    if zipf_ids:
+        ent = (2 + (rng.zipf(1.3, size=BATCH) - 1) % (ENTITIES - 2)).astype(np.int32)
+        rel = (2 + (rng.zipf(1.1, size=BATCH) - 1) % (RELATIONS - 2)).astype(np.int32)
+        pool = (2 + (rng.zipf(1.3, size=CANDS) - 1) % (ENTITIES - 2)).astype(np.int32)
+        shared = pool[np.sort(np.unique(pool, return_index=True)[1])]
+        neg = rng.choice(ENTITIES - 2, size=CANDS, replace=False).astype(np.int32) + 2
+        neg = neg[~np.isin(neg, shared)]
+        cand = np.concatenate([shared, neg])[:CANDS]
+    else:
+        ent = rng.integers(2, ENTITIES, BATCH).astype(np.int32)
+        rel = rng.integers(2, RELATIONS, BATCH).astype(np.int32)
+        cand = rng.integers(2, ENTITIES, CANDS).astype(np.int32)
     return {
-        "ent_ids": rng.integers(2, ENTITIES, BATCH).astype(np.int32),
-        "rel_ids": rng.integers(2, RELATIONS, BATCH).astype(np.int32),
+        "ent_ids": ent,
+        "rel_ids": rel,
         "is_sp": (np.arange(BATCH) % 2 == 0),
         "row_valid": np.ones(BATCH, bool),
-        "candidate_ids": rng.integers(2, ENTITIES, CANDS).astype(np.int32),
+        "candidate_ids": cand,
         "col_valid": np.ones(CANDS, bool),
         "pos_rows": pos_rows,
         "pos_cols": pos_cols,
@@ -109,16 +165,25 @@ def build_batch(rng, positives_per_row=1.07):
     }, P_real
 
 
-def _flagship_model():
+def _flagship_model(tok_dist: str = "zipf", sparse: bool = False):
     import jax
 
-    from __graft_entry__ import _synthetic_meta
+    from open_knowledge_graph_embeddings_tpu.data.dataset import DatasetMeta
     from open_knowledge_graph_embeddings_tpu.models.model import build_model
 
-    meta = _synthetic_meta(ENTITIES, RELATIONS, ENT_TOKENS, REL_TOKENS, MAX_LEN)
+    rng = np.random.default_rng(7)
+    mk = zipf_tok_matrix if tok_dist == "zipf" else uniform_tok_matrix
+    meta = DatasetMeta(
+        entities_size=ENTITIES, relations_size=RELATIONS,
+        min_entities_size=2, min_relations_size=2,
+        entity_tokens_size=ENT_TOKENS, relation_tokens_size=REL_TOKENS,
+        max_length=(MAX_LEN, MAX_LEN),
+        entity_token_ids=mk(rng, ENTITIES, ENT_TOKENS),
+        relation_token_ids=mk(rng, RELATIONS, REL_TOKENS),
+    )
     model = build_model(
         "LSTMComplexRelationModel", meta, entity_slot_size=D, relation_slot_size=D,
-        dropout=0.1, normalize="batchnorm", init_std=0.1,
+        dropout=0.1, normalize="batchnorm", init_std=0.1, sparse=sparse,
         dtype=os.environ.get("OKET_BENCH_DTYPE", "bfloat16"),
     )
     variables = model.init(jax.random.key(0))
@@ -152,18 +217,29 @@ def _time_steps(step, variables, opt_state, hp, batch, iters=ITERS, warmup=WARMU
     return (time.perf_counter() - t0) / iters, stats
 
 
-def bench_flagship(sparse: bool = False):
-    """Returns (items_per_sec, step_seconds)."""
+def bench_flagship(sparse: bool = False, tok_dist: str = "zipf"):
+    """Returns (items_per_sec, step_seconds, info) — ``info`` carries the
+    executed token counts (for honest MFU) and duplication stats."""
     import jax
     import jax.numpy as jnp
 
-    meta, model, variables = _flagship_model()
+    meta, model, variables = _flagship_model(tok_dist, sparse=sparse)
     regimes = _regimes()
     opt_state = regimes.init_state(variables["params"])
     hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
 
     rng = np.random.default_rng(0)
-    raw, P_real = build_batch(rng)
+    raw, P_real = build_batch(rng, zipf_ids=tok_dist == "zipf")
+
+    etoks = meta.entity_token_ids[np.concatenate([raw["candidate_ids"], raw["ent_ids"]])]
+    rtoks = meta.relation_token_ids[raw["rel_ids"]]
+    info = {
+        "ent_tokens_executed": int((etoks > 0).sum()),
+        "rel_tokens_executed": int((rtoks > 0).sum()),
+        "unique_entity_token_ratio": round(
+            len(np.unique(etoks[etoks > 3])) / max(1, int((etoks > 3).sum())), 4
+        ),
+    }
 
     if sparse:
         from open_knowledge_graph_embeddings_tpu.data.batching import Batch
@@ -181,7 +257,11 @@ def bench_flagship(sparse: bool = False):
             normalizer_loss=float(raw["normalizer_loss"]),
         )
         plan = SparsePlanBuilder(model.embedder, entity_sparse=True)
-        batch = {k: jnp.asarray(v) for k, v in plan(b).items()}
+        planned = plan(b)
+        info["sparse_tables"] = sorted(
+            k.split("/")[1] for k in planned if k.endswith("/uids")
+        )
+        batch = {k: jnp.asarray(v) for k, v in planned.items()}
         step = make_sparse_train_step(model, regimes, variables["params"], entity_sparse=True)
     else:
         from open_knowledge_graph_embeddings_tpu.train.step import make_train_step
@@ -190,7 +270,7 @@ def bench_flagship(sparse: bool = False):
         step = make_train_step(model, regimes, variables["params"])
 
     dt, _ = _time_steps(step, variables, opt_state, hp, batch)
-    return P_real / dt, dt
+    return P_real / dt, dt, info
 
 
 def bench_torch_cpu_baseline() -> float:
@@ -310,89 +390,6 @@ def bench_segments():
     t_opt = timeit(lambda g: opt(g, state0, p, hp), grads, iters=5)
     return {"forward_ms": t_fwd * 1e3, "forward_backward_ms": t_bwd * 1e3,
             "optimizer_ms": t_opt * 1e3}
-
-
-def bench_flagship_zipf():
-    """Flagship workload with Zipf-distributed token ids.
-
-    The headline bench draws token ids uniformly — the worst case for any
-    duplicate-aware update (~every token position unique).  Real OLPBench
-    mention/relation tokens are Zipfian; this section reports the same model
-    at s=1.1 token frequencies, dense vs sparse (the per-batch gate decides),
-    plus the measured unique-token ratio, so the realistic operating point
-    is on record next to the adversarial one."""
-    import jax
-    import jax.numpy as jnp
-
-    from open_knowledge_graph_embeddings_tpu.data.dataset import DatasetMeta
-    from open_knowledge_graph_embeddings_tpu.data.batching import Batch
-    from open_knowledge_graph_embeddings_tpu.models.model import build_model
-    from open_knowledge_graph_embeddings_tpu.train.sparse import (
-        SparsePlanBuilder,
-        make_sparse_train_step,
-    )
-    from open_knowledge_graph_embeddings_tpu.train.step import make_train_step
-
-    rng = np.random.default_rng(0)
-
-    def zipf_tok_matrix(n, vocab):
-        lens = rng.integers(1, MAX_LEN - 1, size=n)
-        ranks = (rng.zipf(1.1, size=(n, MAX_LEN)) - 1) % (vocab - 4)
-        body = (4 + ranks).astype(np.int32)
-        pos = np.arange(MAX_LEN)[None, :]
-        m = np.where(pos == 0, 2, body)
-        m = np.where(pos == lens[:, None] + 1, 3, m)
-        m = np.where(pos > lens[:, None] + 1, 0, m)
-        m[:2] = 0
-        m[:2, 0] = 1
-        return m.astype(np.int32)
-
-    meta = DatasetMeta(
-        entities_size=ENTITIES, relations_size=RELATIONS,
-        min_entities_size=2, min_relations_size=2,
-        entity_tokens_size=ENT_TOKENS, relation_tokens_size=REL_TOKENS,
-        max_length=(MAX_LEN, MAX_LEN),
-        entity_token_ids=zipf_tok_matrix(ENTITIES, ENT_TOKENS),
-        relation_token_ids=zipf_tok_matrix(RELATIONS, REL_TOKENS),
-    )
-    raw, P_real = build_batch(rng)
-    toks = meta.entity_token_ids[
-        np.concatenate([raw["candidate_ids"], raw["ent_ids"]])
-    ]
-    uniq_ratio = len(np.unique(toks[toks > 3])) / max(1, int((toks > 3).sum()))
-
-    out = {"unique_entity_token_ratio": round(uniq_ratio, 4)}
-    for label, sparse in (("dense", False), ("sparse", True)):
-        model = build_model(
-            "LSTMComplexRelationModel", meta, entity_slot_size=D,
-            relation_slot_size=D, dropout=0.1, normalize="batchnorm",
-            init_std=0.1, sparse=sparse,
-            dtype=os.environ.get("OKET_BENCH_DTYPE", "bfloat16"),
-        )
-        variables = model.init(jax.random.key(0))
-        regimes = _regimes()
-        opt_state = regimes.init_state(variables["params"])
-        hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
-        if sparse:
-            b = Batch(
-                ent_ids=raw["ent_ids"], rel_ids=raw["rel_ids"], is_sp=raw["is_sp"],
-                row_valid=raw["row_valid"], num_rows=BATCH,
-                candidate_ids=raw["candidate_ids"], col_valid=raw["col_valid"],
-                num_cols=CANDS, cand_offset=2,
-                pos_rows=raw["pos_rows"], pos_cols=raw["pos_cols"],
-                normalizer_loss=float(raw["normalizer_loss"]),
-            )
-            plan = SparsePlanBuilder(model.embedder, entity_sparse=True)
-            batch = {k: jnp.asarray(v) for k, v in plan(b).items()}
-            step = make_sparse_train_step(
-                model, regimes, variables["params"], entity_sparse=True
-            )
-        else:
-            batch = {k: jnp.asarray(v) for k, v in raw.items()}
-            step = make_train_step(model, regimes, variables["params"])
-        dt, _ = _time_steps(step, variables, opt_state, hp, batch, iters=10)
-        out[label] = {"step_ms": round(dt * 1e3, 2), "items_per_sec": round(P_real / dt, 1)}
-    return out
 
 
 def bench_lookup_scaling():
@@ -539,96 +536,131 @@ def bench_full_vocab_eval():
             "score_tflops_per_batch": 2 * B * N * D / 1e12}
 
 
+def _synth_dataset_dir():
+    """A cached on-disk synthetic OLPBench (tools/make_synth_olpbench.py) so
+    the host-collate bench exercises the REAL dataset + builder constructors
+    (a hand-assembled BatchBuilder shim drifted from the constructor once —
+    commit 4f8190e; never again)."""
+    import subprocess
+
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache", "synth_olpbench"
+    )
+    marker = os.path.join(cache, "mapped_to_ids", "train.txt")
+    if not os.path.exists(marker):
+        subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "make_synth_olpbench.py"),
+             os.path.join(cache, "mapped_to_ids"),
+             "--mentions", "300000", "--relations", "20000",
+             "--triples", "1500000", "--eval-size", "5000"],
+            check=True,
+        )
+    return os.path.join(cache, "mapped_to_ids")
+
+
+def _host_builder():
+    from open_knowledge_graph_embeddings_tpu.data import (
+        BatchBuilder,
+        OneToNMentionRelationDataset,
+    )
+
+    ds = OneToNMentionRelationDataset(
+        dataset_dir=_synth_dataset_dir(), input_file="train.txt",
+        is_training_data=True, batch_size=BATCH,
+        use_batch_shared_entities=True, min_size_batch_labels=CANDS,
+    )
+    return BatchBuilder(ds, seed=0)
+
+
 def bench_host_collate():
-    """Host-side batch construction throughput at flagship shapes vs the
-    device step: is prefetch keeping the chip fed?"""
-    from open_knowledge_graph_embeddings_tpu.data.batching import Batch, BatchBuilder
-
-    # synthetic prefix records at OLPBench-ish scale
-    class _Rec:
-        pass
-
-    n_items = 50_000
-    rng = np.random.default_rng(0)
-    rec = _Rec()
-    rec.slot = rng.integers(0, 2, n_items).astype(np.int8) * 2  # SLOT_PO=0 / SLOT_SP=2
-    rec.p1 = rng.integers(2, ENTITIES, n_items).astype(np.int32)
-    rec.p2 = rng.integers(2, RELATIONS, n_items).astype(np.int32)
-    lens = rng.integers(1, 4, n_items)
-    offs = np.zeros(n_items + 1, np.int64)
-    np.cumsum(lens, out=offs[1:])
-    vals = rng.integers(2, ENTITIES, int(offs[-1])).astype(np.int32)
-    rec.mention_offsets = offs
-    rec.mentions = vals
-    rec.group_offsets = np.arange(n_items + 1, dtype=np.int64)
-    rec.filter_offsets = None
-
-    def row_mentions(i):
-        return vals[offs[i]:offs[i + 1]]
-
-    rec.row_mentions = row_mentions
-    rec.__len__ = lambda: n_items
-
-    class _DS:
-        records = rec
-        batch_size = BATCH
-        batch_size_for_backward = BATCH
-        is_training_data = True
-        use_batch_shared_entities = True
-        min_size_batch_labels = CANDS
-
-        class meta:
-            entities_size = ENTITIES
-            min_entities_size = 2
-
-    class _RecLen:
-        def __len__(self):
-            return n_items
-
-    rec.row_has_dup = np.zeros(n_items, dtype=bool)
-    builder = BatchBuilder.__new__(BatchBuilder)
-    builder.ds = _DS()
-    builder.rec = rec
-    builder.meta = _DS.meta
-    builder.batch_size = BATCH
-    builder.drop_last = True
-    builder.host_shard = None
-    builder.pos_bucket_min = 1024
-    builder.seed = 0
-    builder.rng = np.random.default_rng(0)
-    builder.cand_offset = 2
-    builder.full_num_cols = ENTITIES - 2
-    builder._scratch = None
-    rec_len = n_items
-
+    """Host-side batch construction throughput on a real synthetic-OLPBench
+    dataset vs the device step: is prefetch keeping the chip fed?"""
+    builder = _host_builder()
+    n = len(builder.rec)
     ids = np.arange(BATCH)
     builder.build(ids)  # warm caches
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
-        builder.build((ids + i * BATCH) % (rec_len - BATCH))
+        builder.build((ids + i * BATCH) % (n - BATCH))
     dt = (time.perf_counter() - t0) / iters
     return {"batches_per_sec": 1.0 / dt, "build_ms": dt * 1e3}
+
+
+def bench_replicated_collate_headroom():
+    """Where does replicated collate stop scaling?  Every host builds the
+    FULL global batch (parallel/distributed.py contract) while its chips
+    compute 1/D of the rows — so per-host device time shrinks with the
+    data-parallel width D but the host build cost does not.  This section
+    measures the device step at per-host row counts B/D (one real chip,
+    collectives excluded — an optimistic device time, hence a CONSERVATIVE
+    headroom estimate) against the real host build time, and reports the
+    crossover."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_knowledge_graph_embeddings_tpu.train.step import make_train_step
+
+    build_ms = bench_host_collate()["build_ms"]
+    meta, model, variables = _flagship_model("zipf", sparse=False)
+    regimes = _regimes()
+    hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
+    rng = np.random.default_rng(0)
+    raw, _ = build_batch(rng)
+    out = {"host_build_ms": round(build_ms, 2), "per_host_step_ms": {}}
+    crossover = None
+    for d_par in (1, 4, 8, 16, 32):
+        rows = BATCH // d_par
+        small = dict(raw)
+        for k in ("ent_ids", "rel_ids", "is_sp", "row_valid"):
+            small[k] = raw[k][:rows]
+        keep = raw["pos_rows"] < rows
+        pr = np.where(keep, raw["pos_rows"], -1)
+        pc = np.where(keep, raw["pos_cols"], -1)
+        small["pos_rows"], small["pos_cols"] = pr, pc
+        small["normalizer_loss"] = np.float32(rows * CANDS)
+        batch = {k: jnp.asarray(v) for k, v in small.items()}
+        opt_state = regimes.init_state(variables["params"])
+        step = make_train_step(model, regimes, variables["params"])
+        dt, _ = _time_steps(step, variables, opt_state, hp, batch, iters=10)
+        out["per_host_step_ms"][f"D={d_par}"] = round(dt * 1e3, 2)
+        if crossover is None and dt * 1e3 < build_ms:
+            crossover = d_par
+    out["collate_bound_at_data_parallel"] = crossover  # None = never in range
+    return out
 
 
 def main():
     report = "--report" in sys.argv
     kind, (peak_tflops, peak_bw) = chip_peaks()
 
-    items, step_s = bench_flagship(sparse=False)
-    flops = flagship_flops_per_step()
+    # headline: the shipped flagship configuration — sparse: true (the
+    # per-batch gate picks row-sparse token-table updates at realistic
+    # duplication, dense when a batch is too unique), realistic Zipf token
+    # statistics, the TRUE OLPBench 2.47M-mention shape
+    items, step_s, info = bench_flagship(sparse=True)
+    flops = flagship_flops_per_step(
+        info["ent_tokens_executed"], info["rel_tokens_executed"]
+    )
+    flops_padded = flagship_flops_per_step()
     achieved_tflops = flops / step_s / 1e12
     out = {
-        "metric": "OLPBench-shaped LSTM-ComplEx train items/sec (1 chip, d=512, batch 4096, 4096 batch-shared candidates)",
+        "metric": "OLPBench LSTM-ComplEx train items/sec (1 chip, 2.47M mentions, d=512, batch 4096, 4096 batch-shared candidates, Zipf token stats, sparse tables)",
         "value": round(items, 1),
         "unit": "items/s",
         "device": kind,
         "step_ms": round(step_s * 1e3, 2),
         "modeled_tflops_per_step": round(flops / 1e12, 3),
         "achieved_tflops": round(achieved_tflops, 1),
+        **info,
     }
     if peak_tflops:
+        # mfu counts EXECUTED (non-pad) LSTM tokens; mfu_padded is the
+        # round-1/2 convention (all MAX_LEN positions modeled as work)
         out["mfu"] = round(achieved_tflops / peak_tflops, 3)
+        out["mfu_padded"] = round(flops_padded / step_s / 1e12 / peak_tflops, 3)
     try:
         baseline = bench_torch_cpu_baseline()
         out["vs_baseline"] = round(items / baseline, 2)
@@ -645,15 +677,27 @@ def main():
         def section(name, fn):
             print(json.dumps({name: fn()}, indent=2), file=sys.stderr, flush=True)
 
-        section("flagship_dense", lambda: out)
+        section("flagship_sparse_zipf", lambda: out)
 
-        def _sparse():
-            items_sp, step_sp = bench_flagship(sparse=True)
-            return {"items_per_sec": round(items_sp, 1), "step_ms": round(step_sp * 1e3, 2)}
+        def _dense():
+            items_d, step_d, info_d = bench_flagship(sparse=False)
+            return {"items_per_sec": round(items_d, 1),
+                    "step_ms": round(step_d * 1e3, 2), **info_d}
 
-        section("flagship_sparse", _sparse)
+        section("flagship_dense_zipf", _dense)
+
+        def _uniform():
+            # adversarial per-position-uniform tokens: the gate must keep
+            # the dense update (sparse loses when ~every position is unique)
+            res = {}
+            for label, sp in (("dense", False), ("sparse_gated", True)):
+                it, st, inf = bench_flagship(sparse=sp, tok_dist="uniform")
+                res[label] = {"items_per_sec": round(it, 1),
+                              "step_ms": round(st * 1e3, 2), **inf}
+            return res
+
+        section("flagship_uniform_tokens", _uniform)
         section("segments", lambda: {k: round(v, 2) for k, v in bench_segments().items()})
-        section("flagship_zipf_tokens", bench_flagship_zipf)
         section("lookup_scaling", bench_lookup_scaling)
         section("full_vocab_train", lambda: {
             k: (round(v, 3) if isinstance(v, float) else v)
@@ -670,6 +714,7 @@ def main():
             return {k: (round(v, 3) if isinstance(v, float) else v) for k, v in host.items()}
 
         section("host_collate", _host)
+        section("replicated_collate_headroom", bench_replicated_collate_headroom)
 
 
 if __name__ == "__main__":
