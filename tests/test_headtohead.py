@@ -21,6 +21,11 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
+# single-threaded torch: intra-op GEMM partitioning depends on the live
+# thread pool, and a different accumulation order moves fp-noise-scale
+# gradient elements across Adagrad's ±lr first-update threshold — the one
+# run-to-run variance source in an otherwise fully seed-matched test
+torch.set_num_threads(1)
 
 REF = "/root/reference"
 FB = f"{REF}/data/fb15k237/mapped_to_ids"

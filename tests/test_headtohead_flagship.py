@@ -42,6 +42,8 @@ import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
+# single-threaded torch for run-to-run determinism (see test_headtohead.py)
+torch.set_num_threads(1)
 
 REF = "/root/reference"
 FB = f"{REF}/data/fb15k237/mapped_to_ids"
@@ -412,8 +414,11 @@ def test_flagship_batchnorm_stats_match():
             # tight early check: running stats are invisible to the training
             # losses (train-mode forward uses batch stats), so the
             # EMA/unbiased-variance semantics are pinned here before the
-            # chaotic parameter drift (module docstring) grows
-            for ours, ref, name, rtol, atol in check_bn_stats(1e-4, 1e-6):
+            # chaotic parameter drift (module docstring) grows.  Bounds leave
+            # ~1 decade of headroom over measured torch-vs-XLA summation
+            # jitter (~7e-6 abs on batch-mean stats); semantic errors (wrong
+            # momentum, biased variance) land at ~1e-2
+            for ours, ref, name, rtol, atol in check_bn_stats(1e-3, 2e-5):
                 np.testing.assert_allclose(
                     ours, ref, rtol=rtol, atol=atol,
                     err_msg=f"{name} diverged at step {i}",
