@@ -333,6 +333,54 @@ class TestMetricsParity:
                 ref_result[m].avg, abs=1e-5
             ), f"metric {m}"
 
+    def test_filtered_ranking_padded_and_col_valid(self, rng):
+        """The sparse-correction formulation under batch-shared conditions:
+        padding in filter/gold arrays (-1) and invalid candidate columns.
+        Oracle: the reference's dense semantics (mask -> FILTER_VALUE,
+        invalid cols -> -inf) computed in numpy."""
+        from open_knowledge_graph_embeddings_tpu.train.evaluate import (
+            FILTER_VALUE,
+            ranks_from_scores,
+        )
+
+        B, N, N_real = 5, 48, 37
+        scores = rng.standard_normal((B, N)).astype(np.float32)
+        col_valid = np.zeros(N, bool)
+        col_valid[:N_real] = True
+        filter_mask = (rng.random((B, N)) < 0.25) & col_valid[None, :]
+        g_rows, g_ments = [], []
+        for b in range(B):
+            for _ in range(int(rng.integers(1, 3))):
+                cols = rng.choice(N_real, int(rng.integers(1, 3)), replace=False)
+                filter_mask[b, cols] = True
+                g_rows.append(b)
+                g_ments.append(cols)
+
+        # dense oracle
+        filtered = np.where(filter_mask, FILTER_VALUE, scores)
+        filtered = np.where(col_valid[None, :], filtered, -np.inf)
+        want = []
+        for r, m in zip(g_rows, g_ments):
+            t = scores[r, m].max()
+            want.append(int((filtered[r] > t).sum() + (filtered[r] == t).sum() // 2))
+
+        fr, fc = np.nonzero(filter_mask)
+        F = len(fr) + 7  # padded tail
+        frp = np.full(F, -1, np.int32); frp[: len(fr)] = fr
+        fcp = np.full(F, -1, np.int32); fcp[: len(fc)] = fc
+        G, A = len(g_rows) + 3, max(len(m) for m in g_ments)
+        grp = np.full(G, -1, np.int32)
+        gmp = np.full((G, A), -1, np.int32)
+        for i, (r, m) in enumerate(zip(g_rows, g_ments)):
+            grp[i] = r
+            gmp[i, : len(m)] = m
+        ranks, valid = ranks_from_scores(
+            jnp.asarray(scores), jnp.asarray(frp), jnp.asarray(fcp),
+            jnp.asarray(grp), jnp.asarray(gmp), jnp.asarray(col_valid),
+        )
+        np.testing.assert_array_equal(np.asarray(valid), grp >= 0)
+        np.testing.assert_array_equal(np.asarray(ranks)[: len(want)], want)
+
 
 class TestLSTMTucker3Parity:
     def test_scores(self, rng):
