@@ -49,6 +49,7 @@ from open_knowledge_graph_embeddings_tpu.data.dataset import DatasetMeta
 from open_knowledge_graph_embeddings_tpu.data.vocab import PAD
 from open_knowledge_graph_embeddings_tpu.ops.lstm import (
     init_lstm_params,
+    length_sort_perm,
     lstm_forward_tm,
     lstm_forward_tm_sorted,
     lstm_fused_supported,
@@ -690,7 +691,7 @@ class LSTMEmbedder(TokenEmbedderBase):
             # the final states are unsorted back below (all ops after the
             # LSTM are per-row, so the order is invisible downstream)
             lengths_all = jnp.sum((toks_tm > 0).astype(jnp.int32), axis=0)
-            order = jnp.argsort(-lengths_all)
+            order, unsort = length_sort_perm(lengths_all, L)
             toks_tm = toks_tm[:, order]
         emb_tm = token_gather_tm(
             variables["params"][table_name], toks_tm, self._cdtype, time_major=True
@@ -705,7 +706,7 @@ class LSTMEmbedder(TokenEmbedderBase):
         idx = jnp.clip(lengths - 1, 0, toks_tm.shape[0] - 1)
         x = jnp.take_along_axis(out_tm, idx[None, :, None], axis=0)[0]
         if fused:
-            x = x[jnp.argsort(order)]  # undo the length sort
+            x = x[unsort]  # undo the length sort (counting-sort inverse)
         return x
 
     def _finish(self, variables, x, bn_name, proj, dropout, train, rng):

@@ -109,6 +109,32 @@ def lstm_fused_supported(B: int, L: int, D: int, H: int) -> bool:
     return D % 128 == 0 and pallas_supported(B, L, H)
 
 
+def length_sort_perm(lengths: jax.Array, max_len: int):
+    """Stable descending-length permutation via counting sort.
+
+    Equivalent to ``order = jnp.argsort(-lengths)`` (JAX's sort is stable)
+    plus its inverse permutation, but built from one-hot + cumsum + one
+    B-element scatter — O(B·L) vector work instead of a bitonic sort
+    network.  Mention lengths are bounded by the token budget (<= 10,
+    reference: openkge/default.yaml:40), which makes the bucket count tiny;
+    XLA's generic sort was the single most expensive non-matmul op left in
+    the fused encode path (two argsorts per 8192-row entity pass).
+
+    Returns ``(order, inv)`` with ``sorted_x = x[order]`` and
+    ``x == sorted_x[inv]``.
+    """
+    B = lengths.shape[0]
+    idx = jnp.arange(B, dtype=jnp.int32)
+    bucket = (max_len - lengths).astype(jnp.int32)  # 0 <-> longest
+    oh = jax.nn.one_hot(bucket, max_len + 1, dtype=jnp.int32)  # [B, L+1]
+    counts = jnp.sum(oh, axis=0)
+    start = jnp.cumsum(counts) - counts  # exclusive bucket offsets
+    running = jnp.cumsum(oh, axis=0) - oh  # earlier rows in same bucket
+    pos = start[bucket] + jnp.sum(running * oh, axis=1)  # row i -> sorted slot
+    order = jnp.zeros((B,), jnp.int32).at[pos].set(idx)
+    return order, pos
+
+
 def lstm_forward_tm_sorted(
     params: Dict[str, jax.Array], emb_tm: jax.Array, lengths_sorted: jax.Array
 ) -> jax.Array:

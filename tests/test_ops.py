@@ -132,6 +132,18 @@ class TestLSTM:
         want = out[range(B), [4, 2, 0], :]
         np.testing.assert_allclose(np.asarray(got), want.numpy(), rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.parametrize("B,L", [(17, 10), (256, 10), (8, 3), (1, 10)])
+    def test_length_sort_perm_matches_stable_argsort(self, rng, B, L):
+        from open_knowledge_graph_embeddings_tpu.ops.lstm import length_sort_perm
+
+        lengths = jnp.asarray(rng.integers(0, L + 1, size=B), jnp.int32)
+        order, inv = jax.jit(length_sort_perm, static_argnums=1)(lengths, L)
+        want = np.argsort(-np.asarray(lengths), kind="stable")
+        np.testing.assert_array_equal(np.asarray(order), want)
+        # inv really inverts: x == x[order][inv]
+        x = np.asarray(rng.normal(size=(B, 4)), np.float32)
+        np.testing.assert_array_equal(x[np.asarray(order)][np.asarray(inv)], x)
+
 
 class TestBatchNorm:
     def test_train_and_eval_match_torch(self, rng):
