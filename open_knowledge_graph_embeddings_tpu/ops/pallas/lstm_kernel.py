@@ -465,6 +465,13 @@ def _fused_bwd(emb_tm, w_ih_t, w_hh_t, bias_row, hs, cs, dhs, ntiles, tmax):
             jax.ShapeDtypeStruct((H, H4), jnp.float32),
             jax.ShapeDtypeStruct((TB, H4), jnp.float32),
         ],
+        # the working set (6 streamed [TB,·] sequence blocks + 2 weight
+        # matrices + 2 f32 weight-grad accumulators + db) sits at ~15 MB for
+        # TB=128, H=512 — right at Mosaic's default 16 MB scoped-vmem cap,
+        # and some batch sizes (e.g. B=4352: grid 34 x 10) tip it over at
+        # compile time.  Raise the cap; v5e has 128 MB of VMEM and the
+        # kernel's double-buffering needs are already in the figure above.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
     )(ntiles, tmax, bias_row, emb_tm, w_ih_t, w_hh_t, cs, hs, cs, dhs)
     return demb, dwih, dwhh, jnp.sum(db_rows, axis=0)
 

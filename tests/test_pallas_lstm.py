@@ -165,6 +165,33 @@ class TestFusedLengthAwareLSTM:
         a, b = np.asarray(gx1), np.asarray(gx2)
         np.testing.assert_allclose(a[active], b[active], rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.tpu
+    @pytest.mark.skipif(
+        jax.default_backend() not in ("tpu", "axon"),
+        reason="scoped-VMEM budgeting is a real Mosaic compile property; "
+        "run with OKET_TPU_TESTS=1 python -m pytest -m tpu tests/",
+    )
+    def test_bwd_compiles_at_vmem_marginal_batch(self):
+        """B=4352 (a data-parallel per-host slice: 256 rows + 4096 shared
+        candidates), H=512: the backward's working set sits at ~15-16.7 MB
+        and tipped over Mosaic's default 16 MB scoped-vmem cap — the
+        pallas_call now raises the cap (lstm_kernel._fused_bwd).  This test
+        is the compile-and-run regression for that class of shape."""
+        L, B, D = 10, 4352, 512
+        rng = np.random.default_rng(2)
+        params = lstm_mod.init_lstm_params(jax.random.key(0), D, D)
+        lens = np.sort(rng.integers(1, L + 1, B))[::-1].copy().astype(np.int32)
+        emb = jnp.asarray(rng.standard_normal((L, B, D)).astype(np.float32) * 0.1)
+
+        def loss(p, x):
+            out = lstm_mod.lstm_forward_tm_sorted(p, x, jnp.asarray(lens))
+            return jnp.sum(self._select(out, jnp.asarray(lens), L) ** 2)
+
+        val, grads = jax.jit(jax.value_and_grad(loss))(params, emb)
+        assert np.isfinite(float(val))
+        for k, g in grads.items():
+            assert np.isfinite(np.asarray(g)).all(), k
+
     def test_compose_sort_is_invisible(self, toy_dataset_dir):
         """The length sort inside LSTM _compose must not change encoder
         outputs (forced fused path in interpreter mode vs plain path)."""
