@@ -605,6 +605,9 @@ def bench_replicated_collate_headroom():
 
     build_ms = bench_host_collate()["build_ms"]
     meta, model, variables = _flagship_model("zipf", sparse=False)
+    # the train step donates its variables, so each width needs a fresh
+    # device copy — keep the pristine pytree on the host and rehydrate
+    variables_host = jax.device_get(variables)
     regimes = _regimes()
     hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
     rng = np.random.default_rng(0)
@@ -622,6 +625,7 @@ def bench_replicated_collate_headroom():
         small["pos_rows"], small["pos_cols"] = pr, pc
         small["normalizer_loss"] = np.float32(rows * CANDS)
         batch = {k: jnp.asarray(v) for k, v in small.items()}
+        variables = jax.device_put(variables_host)
         opt_state = regimes.init_state(variables["params"])
         step = make_train_step(model, regimes, variables["params"])
         dt, _ = _time_steps(step, variables, opt_state, hp, batch, iters=10)
