@@ -638,6 +638,15 @@ def bench_replicated_collate_headroom():
 
 def main():
     report = "--report" in sys.argv
+    # persistent XLA compile cache (same location the CLI uses,
+    # cli/train.py): the flagship programs compile in minutes over the axon
+    # tunnel on a cold run and in seconds from cache
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/oket_xla")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     kind, (peak_tflops, peak_bw) = chip_peaks()
 
     # headline: the shipped flagship configuration — sparse: true (the
