@@ -640,13 +640,16 @@ def main():
     report = "--report" in sys.argv
     # persistent XLA compile cache (same location the CLI uses,
     # cli/train.py): the flagship programs compile in minutes over the axon
-    # tunnel on a cold run and in seconds from cache
+    # tunnel on a cold run and in seconds from cache.  Steady-state step
+    # timing is unaffected (timed loops run post-warmup), but set
+    # OKET_BENCH_COMPILE_CACHE=0 to measure cold compiles.
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/oket_xla")
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if os.environ.get("OKET_BENCH_COMPILE_CACHE", "1") != "0":
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser("~/.cache/oket_xla")
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     kind, (peak_tflops, peak_bw) = chip_peaks()
 
     # headline: the shipped flagship configuration — sparse: true (the

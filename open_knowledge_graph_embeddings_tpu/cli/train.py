@@ -156,10 +156,34 @@ def main(args: Dict[str, Any]) -> Trainer:
         logger.info("TEST RESULTS: %s", results.averages)
         scores_file = args.get("evaluate_scores_file")
         if scores_file and jax.process_index() == 0:
+            # sweep-row schema mirrors the reference's hyperparameter+score
+            # columns (reference: scripts/train.py:157-220) so downstream
+            # sweep aggregation works on either framework's csv
+            mc = dict(args.get("model_config") or {})
+            oc = args.get("optimization_config") or {}
+            oc0 = oc[0] if isinstance(oc, list) and oc else (
+                oc if isinstance(oc, dict) else {}
+            )
+            resume = args.get("resume") or ""
             row = {
                 "config": args.get("config_file"),
+                "checkpoint_path": os.path.basename(os.path.dirname(resume)) if resume else "-",
+                "checkpoint": os.path.basename(resume) if resume else "-",
+                "batch_size": args.get("batch_size", "-"),
+                "entity_slot_size": mc.get("entity_slot_size", "-"),
+                "relation_slot_size": mc.get("relation_slot_size", "-"),
+                "dropout": mc.get("dropout", "-"),
+                "input_dropout": mc.get("input_dropout", "-"),
+                "relation_dropout": mc.get("relation_dropout", "-"),
+                "relation_input_dropout": mc.get("relation_input_dropout", "-"),
                 "model": args.get("model"),
-                "resume": args.get("resume"),
+                "train_data": (args.get("train_data_config") or {}).get("input_file", "-"),
+                "valid_data": (args.get("val_data_config") or {}).get("input_file", "-"),
+                "sparse": mc.get("sparse", "-"),
+                "lr": oc0.get("lr", "-"),
+                "weight_decay": oc0.get("weight_decay", "-"),
+                "epoch": trainer.epoch,
+                "resume": resume,
                 **{k: v for k, v in results.averages_dict.items()},
             }
             exists = os.path.exists(scores_file)

@@ -532,6 +532,21 @@ class BatchBuilder:
         if ftotal:
             filter_rows[:ftotal] = np.repeat(np.arange(len(item_ids), dtype=np.int32), flens)
             filter_cols[:ftotal] = translate(np.concatenate(filt_parts).astype(np.int64)).astype(np.int32)
+            # the sparse-correction ranking (train/evaluate.py) is exact only
+            # if (row, col) filter pairs are unique — a duplicated pair would
+            # double-correct.  Uniqueness is guaranteed upstream (python sets
+            # in dataset.attach_filter_index, injective lut translation), but
+            # a future filter source could silently break it; this is cheap
+            # relative to the per-batch python work, so check the contract.
+            valid = filter_cols[:ftotal] >= 0
+            packed = (
+                filter_rows[:ftotal][valid].astype(np.int64) << 32
+                | (filter_cols[:ftotal][valid].astype(np.int64) & 0xFFFFFFFF)
+            )
+            assert len(np.unique(packed)) == len(packed), (
+                "duplicate (row, col) filter pairs would double-correct the "
+                "sparse filtered ranking"
+            )
 
         # gold groups: one row per (prefix, gold entity), columns = mention
         # alternatives (reference keeps these as python list-of-list "label_ids",

@@ -59,11 +59,15 @@ def ranks_from_scores(
     fused compare-reduce pass over the gathered gold rows plus O(G·F)
     scalar work."""
     B, N = scores.shape
-    gold_valid = gold_rows >= 0
+    m_valid = gold_mention_cols >= 0
+    # a gold with no valid mention column has true = -inf; the sparse
+    # formulation below would give it a formulation-dependent rank (the
+    # dense path counted every invalid column as a tie), so exclude such
+    # degenerate golds explicitly instead
+    gold_valid = (gold_rows >= 0) & jnp.any(m_valid, axis=1)
     g_rows = jnp.where(gold_valid, gold_rows, 0)
 
     # best alternative-mention score per gold (raw, unfiltered; -inf padding)
-    m_valid = gold_mention_cols >= 0
     m_cols = jnp.where(m_valid, gold_mention_cols, 0)
     gscores = scores[g_rows[:, None], m_cols]  # [G, A]
     true = jnp.max(jnp.where(m_valid, gscores, -jnp.inf), axis=1)  # [G]

@@ -20,6 +20,7 @@ decay), Adam, SGD(momentum, nesterov), RMSprop, Adadelta.
 
 from __future__ import annotations
 
+import ast
 import logging
 import math
 import re
@@ -29,6 +30,100 @@ import jax
 import jax.numpy as jnp
 
 logger = logging.getLogger(__name__)
+
+
+def safe_eval_lr_lambda(expr: str, epoch: float) -> float:
+    """Evaluate a LambdaLR factor expression without ``eval``.
+
+    Config files carry the torch ``lr_lambda`` callable as an arithmetic
+    expression of ``epoch`` (e.g. ``"0.95 ** epoch"``).  A raw ``eval`` —
+    even with ``{"__builtins__": {}}`` — is an arbitrary-code vector via
+    attribute traversal, so this walks the AST and permits only numeric
+    literals, ``epoch``, arithmetic/comparison operators, conditional
+    expressions, and a whitelist of ``math`` functions/constants.
+    Anything else (attributes, subscripts, calls to non-whitelisted names,
+    lambdas, comprehensions, strings) raises ``ValueError``.
+    """
+    _FUNCS = {
+        "exp": math.exp, "log": math.log, "log2": math.log2,
+        "log10": math.log10, "sqrt": math.sqrt, "cos": math.cos,
+        "sin": math.sin, "tan": math.tan, "floor": math.floor,
+        "ceil": math.ceil, "pow": math.pow, "min": min, "max": max,
+        "abs": abs,
+    }
+    _CONSTS = {"epoch": float(epoch), "pi": math.pi, "e": math.e}
+    _BINOPS = {
+        ast.Add: lambda a, b: a + b, ast.Sub: lambda a, b: a - b,
+        ast.Mult: lambda a, b: a * b, ast.Div: lambda a, b: a / b,
+        ast.FloorDiv: lambda a, b: a // b, ast.Mod: lambda a, b: a % b,
+        ast.Pow: lambda a, b: a ** b,
+    }
+    _CMPOPS = {
+        ast.Lt: lambda a, b: a < b, ast.LtE: lambda a, b: a <= b,
+        ast.Gt: lambda a, b: a > b, ast.GtE: lambda a, b: a >= b,
+        ast.Eq: lambda a, b: a == b, ast.NotEq: lambda a, b: a != b,
+    }
+
+    def ev(node):
+        if isinstance(node, ast.Expression):
+            return ev(node.body)
+        if isinstance(node, ast.Constant):
+            if isinstance(node.value, (int, float, bool)):
+                return node.value
+            raise ValueError(f"non-numeric literal {node.value!r}")
+        if isinstance(node, ast.Name):
+            if node.id in _CONSTS:
+                return _CONSTS[node.id]
+            raise ValueError(f"unknown name {node.id!r}")
+        if isinstance(node, ast.Attribute):
+            # permit `math.<whitelisted>` spelled as in old configs
+            if (
+                isinstance(node.value, ast.Name)
+                and node.value.id == "math"
+                and node.attr in _FUNCS
+            ):
+                return _FUNCS[node.attr]
+            if (
+                isinstance(node.value, ast.Name)
+                and node.value.id == "math"
+                and node.attr in ("pi", "e")
+            ):
+                return getattr(math, node.attr)
+            raise ValueError("attribute access not allowed in lr_lambda")
+        if isinstance(node, ast.BinOp) and type(node.op) in _BINOPS:
+            return _BINOPS[type(node.op)](ev(node.left), ev(node.right))
+        if isinstance(node, ast.UnaryOp):
+            if isinstance(node.op, ast.USub):
+                return -ev(node.operand)
+            if isinstance(node.op, ast.UAdd):
+                return +ev(node.operand)
+            raise ValueError("unsupported unary op in lr_lambda")
+        if isinstance(node, ast.Compare) and len(node.ops) == 1:
+            op = node.ops[0]
+            if type(op) in _CMPOPS:
+                return _CMPOPS[type(op)](ev(node.left), ev(node.comparators[0]))
+            raise ValueError("unsupported comparison in lr_lambda")
+        if isinstance(node, ast.IfExp):
+            return ev(node.body) if ev(node.test) else ev(node.orelse)
+        if isinstance(node, ast.Call):
+            if isinstance(node.func, ast.Name) and node.func.id in _FUNCS:
+                fn = _FUNCS[node.func.id]
+            elif isinstance(node.func, ast.Attribute):
+                fn = ev(node.func)
+            else:
+                raise ValueError("only whitelisted math calls allowed")
+            if node.keywords:
+                raise ValueError("keyword arguments not allowed in lr_lambda")
+            return fn(*[ev(a) for a in node.args])
+        raise ValueError(
+            f"disallowed syntax in lr_lambda: {type(node).__name__}"
+        )
+
+    try:
+        tree = ast.parse(expr, mode="eval")
+    except SyntaxError as exc:
+        raise ValueError(f"invalid lr_lambda expression: {exc}") from exc
+    return float(ev(tree))
 
 Params = Any
 State = Any
@@ -360,9 +455,7 @@ class OptimizerRegimes:
                     # of torch's lr_lambda callable, which YAML cannot carry)
                     expr = cfg.get("lr_lambda")
                     assert expr, "LambdaLR needs an lr_lambda expression"
-                    scale = float(
-                        eval(expr, {"__builtins__": {}, "math": math}, {"epoch": epoch})
-                    )
+                    scale = safe_eval_lr_lambda(expr, epoch)
                 if scale != self.lr_scale[ri]:
                     self.lr_scale[ri] = scale
                     logger.info("%s: regime %d lr_scale -> %g", kind, ri, scale)

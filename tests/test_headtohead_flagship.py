@@ -414,11 +414,13 @@ def test_flagship_batchnorm_stats_match():
             # tight early check: running stats are invisible to the training
             # losses (train-mode forward uses batch stats), so the
             # EMA/unbiased-variance semantics are pinned here before the
-            # chaotic parameter drift (module docstring) grows.  Bounds leave
-            # ~1 decade of headroom over measured torch-vs-XLA summation
-            # jitter (~7e-6 abs on batch-mean stats); semantic errors (wrong
-            # momentum, biased variance) land at ~1e-2
-            for ours, ref, name, rtol, atol in check_bn_stats(1e-3, 2e-5):
+            # chaotic parameter drift (module docstring) grows.  With
+            # single-threaded torch (deterministic summation order, set at
+            # import above) the measured noise floor is ~7e-6 abs on
+            # batch-mean stats; bounds sit just above it so semantic errors
+            # (wrong momentum, biased variance — landing at ~1e-2) and
+            # subtle EMA regressions in the 1e-5..1e-2 band both trip
+            for ours, ref, name, rtol, atol in check_bn_stats(1e-4, 1e-5):
                 np.testing.assert_allclose(
                     ours, ref, rtol=rtol, atol=atol,
                     err_msg=f"{name} diverged at step {i}",

@@ -232,6 +232,43 @@ def test_cosine_linear_polynomial_lambda_schedulers():
             assert abs(regimes.hparams()[0]["lr"] - scale) < 1e-9, (kind, epoch)
 
 
+def test_lambda_lr_safe_evaluator():
+    """lr_lambda expressions are AST-evaluated, never eval()'d.
+
+    Arithmetic, math calls, and conditional expressions work; anything that
+    could escape (attribute traversal, subscripts, dunder access, imports)
+    raises ValueError instead of executing.
+    """
+    import math
+
+    import pytest
+
+    from open_knowledge_graph_embeddings_tpu.train.optim import (
+        safe_eval_lr_lambda,
+    )
+
+    assert safe_eval_lr_lambda("0.5 ** epoch", 3) == 0.125
+    assert safe_eval_lr_lambda("1.0 / (1 + 0.1 * epoch)", 10) == 0.5
+    assert abs(safe_eval_lr_lambda("exp(-epoch / 10)", 10) - math.exp(-1)) < 1e-12
+    assert abs(safe_eval_lr_lambda("math.cos(pi * epoch / 4)", 2)) < 1e-12
+    assert safe_eval_lr_lambda("1.0 if epoch < 5 else 0.1", 7) == 0.1
+    assert safe_eval_lr_lambda("max(0.01, 0.9 ** epoch)", 100) == 0.01
+
+    for malicious in (
+        "().__class__.__bases__[0].__subclasses__()",
+        "__import__('os').system('true')",
+        "open('/etc/passwd')",
+        "epoch.__class__",
+        "(lambda: 1)()",
+        "[x for x in (1,)][0]",
+        "'a' * 10",
+        "math.__loader__",
+        "globals()",
+    ):
+        with pytest.raises(ValueError):
+            safe_eval_lr_lambda(malicious, 1)
+
+
 def test_cosine_scheduler_matches_torch():
     torch = __import__("pytest").importorskip("torch")
     base_lr = 0.2

@@ -89,6 +89,12 @@ def test_evaluate_only_mode(toy_dataset_dir, tmp_path):
     with open(scores_file) as f:
         content = f.read()
     assert "mrr" in content
+    # sweep-row schema carries the reference's hyperparameter columns
+    # (reference: scripts/train.py:157-220) alongside the metrics
+    header = content.splitlines()[0].split(",")
+    for col in ("checkpoint", "batch_size", "dropout", "model",
+                "train_data", "lr", "weight_decay", "epoch", "mrr", "h10"):
+        assert col in header, col
 
 
 def test_early_stopping_fires(toy_dataset_dir, tmp_path):
