@@ -51,8 +51,8 @@ from open_knowledge_graph_embeddings_tpu.ops.lstm import (
     init_lstm_params,
     length_sort_perm,
     lstm_forward_tm,
-    lstm_forward_tm_sorted,
     lstm_fused_supported,
+    lstm_last_fused,
 )
 from open_knowledge_graph_embeddings_tpu.ops.norm import apply_batchnorm, init_batchnorm
 
@@ -127,6 +127,7 @@ def _pad_stop_gradient(emb: jax.Array, toks: jax.Array) -> jax.Array:
 def token_gather_tm(
     table: jax.Array, toks: jax.Array, cdtype,
     stop_pad_grad: bool = False, time_major: bool = False,
+    grad_plan=None,
 ) -> jax.Array:
     """``table[toks].astype(cdtype)`` with a layout-aware backward.
 
@@ -146,6 +147,19 @@ def token_gather_tm(
     :func:`_pad_stop_gradient`).  ``stop_pad_grad`` additionally blocks the
     pad rows in the *forward* value's gradient path — only meaningful for
     encoders where pad values reach the loss (sum-pool + batchnorm).
+
+    ``grad_plan`` (optional): a host-built slot plan that turns the
+    backward scatter-add into a two-level gather-sum.  The XLA scatter
+    costs ~15 ns per update row (per-row DMA issue) and processes every
+    position including pads; gathers stream at ~3 ns/row.  The plan groups
+    the non-pad positions of ``toks`` by token id into slots of K
+    positions: ``pos`` [S, K] int32 flat time-major position indices,
+    ``valid`` [S, K] bool, ``uid`` [S] int32 target row per slot (invalid
+    slots point out of range).  Level 1 is a fused gather + masked f32 sum
+    over K (one streaming read of the cotangent, bf16->f32 conversion
+    folded in); level 2 scatter-adds only the ~P/K slot rows.  Exactness:
+    every non-pad position appears in exactly one (slot, k) cell — the
+    host builder is tested against the dense scatter.
     """
     V = table.shape[0]
 
@@ -165,6 +179,19 @@ def token_gather_tm(
         else:
             ct_tm = jnp.swapaxes(ct, 0, 1).reshape(-1, d)
             ids = jnp.swapaxes(toks, 0, 1).reshape(-1)
+        if grad_plan is not None:
+            g = jnp.take(ct_tm, grad_plan["pos"].reshape(-1), axis=0)
+            g = g.reshape(*grad_plan["pos"].shape, d)  # [S, K, d]
+            slot_sums = jnp.sum(
+                jnp.where(grad_plan["valid"][..., None], g.astype(jnp.float32), 0.0),
+                axis=1,
+            )
+            dtable = (
+                jnp.zeros((V, d), jnp.float32)
+                .at[grad_plan["uid"]]
+                .add(slot_sums, mode="drop")
+            )
+            return (dtable,)
         ids = jnp.where(ids == PAD, jnp.int32(V), ids)  # out of range -> dropped
         dtable = (
             jnp.zeros((V, d), jnp.float32)
@@ -673,7 +700,7 @@ class LSTMEmbedder(TokenEmbedderBase):
         )
         return {"params": params, "state": state, "buffers": buffers}
 
-    def _lstm_states(self, variables, ids, kind, table_name, lstm_name):
+    def _lstm_states(self, variables, ids, kind, table_name, lstm_name, train=False):
         """Token gather + LSTM recurrence + last-non-pad-state select for a
         row batch; returns the raw [B, H] states (pre-norm/dropout)."""
         # the whole sequence path is time-major [L, B, .]: gather, input
@@ -685,7 +712,13 @@ class LSTMEmbedder(TokenEmbedderBase):
         d_in = variables["params"][table_name].shape[1]
         H = variables["params"][lstm_name]["w_hh"].shape[1]
         fused = lstm_fused_supported(B, L, d_in, H)
-        if fused:
+        # gather-sum backward plan for the token table (train/sparse.py
+        # SparsePlanBuilder): host-built, keyed to the SORTED time-major
+        # layout, so its presence also forces the sorted path; only the
+        # sparse train step ships it (train=True), eval buffers never do
+        plan = variables["buffers"].get(f"{kind}_token_grad_plan") if train else None
+        use_sorted = fused or plan is not None
+        if use_sorted:
             # sort rows by descending length so the rows active at time t
             # are a batch prefix and the fused kernel can skip pad steps;
             # the final states are unsorted back below (all ops after the
@@ -694,18 +727,18 @@ class LSTMEmbedder(TokenEmbedderBase):
             order, unsort = length_sort_perm(lengths_all, L)
             toks_tm = toks_tm[:, order]
         emb_tm = token_gather_tm(
-            variables["params"][table_name], toks_tm, self._cdtype, time_major=True
+            variables["params"][table_name], toks_tm, self._cdtype,
+            time_major=True, grad_plan=plan,
         )  # [L, B, d]
         lengths = jnp.sum((toks_tm > 0).astype(jnp.int32), axis=0)
         if fused:
-            out_tm = lstm_forward_tm_sorted(
-                variables["params"][lstm_name], emb_tm, lengths
-            )
-        else:
-            out_tm = lstm_forward_tm(variables["params"][lstm_name], emb_tm)  # [L, B, H]
+            # last-state select fused into the kernels: [B, H] out directly
+            x = lstm_last_fused(variables["params"][lstm_name], emb_tm, lengths)
+            return x[unsort]
+        out_tm = lstm_forward_tm(variables["params"][lstm_name], emb_tm)  # [L, B, H]
         idx = jnp.clip(lengths - 1, 0, toks_tm.shape[0] - 1)
         x = jnp.take_along_axis(out_tm, idx[None, :, None], axis=0)[0]
-        if fused:
+        if use_sorted:
             x = x[unsort]  # undo the length sort (counting-sort inverse)
         return x
 
@@ -730,7 +763,7 @@ class LSTMEmbedder(TokenEmbedderBase):
         return x.astype(self._cdtype), new_state, jnp.zeros((), jnp.float32)
 
     def _compose(self, variables, ids, kind, table_name, lstm_name, bn_name, proj, dropout, train, rng):
-        x = self._lstm_states(variables, ids, kind, table_name, lstm_name)
+        x = self._lstm_states(variables, ids, kind, table_name, lstm_name, train=train)
         return self._finish(variables, x, bn_name, proj, dropout, train, rng)
 
     def encode_entity_pair(self, variables, ids_a, ids_b, *, train=False, rng_a=None, rng_b=None):
@@ -750,6 +783,7 @@ class LSTMEmbedder(TokenEmbedderBase):
             variables,
             jnp.concatenate([ids_a, ids_b]),
             "entity", "entity_token_embedding", "entity_lstm",
+            train=train,
         )
         xa, state_a, reg_a = self._finish(
             variables, x[:na], "entity_bn", False, self.entity_dropout, train, rng_a

@@ -159,6 +159,25 @@ def lstm_forward_tm_sorted(
     return lstm_encode_fused(emb_tm, w_ih_t, w_hh_t, bias, lengths_sorted).astype(dtype)
 
 
+def lstm_last_fused(
+    params: Dict[str, jax.Array], emb_tm: jax.Array, lengths_sorted: jax.Array
+) -> jax.Array:
+    """Length-aware fused LSTM returning each row's last non-pad state
+    directly: ``emb_tm`` [L, B, D] (descending-length-sorted rows) ->
+    [B, H].  Fuses the last-state select into the kernels (no [L, B, H]
+    output gather in the forward, no dhs scatter-assembly in the backward
+    — see ops/pallas/lstm_kernel.py lstm_encode_last_fused)."""
+    from open_knowledge_graph_embeddings_tpu.ops.pallas.lstm_kernel import (
+        lstm_encode_last_fused,
+    )
+
+    dtype = emb_tm.dtype
+    w_ih_t = params["w_ih"].T.astype(dtype)
+    w_hh_t = params["w_hh"].T.astype(dtype)
+    bias = (params["b_ih"] + params["b_hh"]).astype(jnp.float32)
+    return lstm_encode_last_fused(emb_tm, w_ih_t, w_hh_t, bias, lengths_sorted).astype(dtype)
+
+
 def lstm_last_state(params: Dict[str, jax.Array], x: jax.Array, lengths: jax.Array) -> jax.Array:
     """Output at the last non-pad position per sequence.
 

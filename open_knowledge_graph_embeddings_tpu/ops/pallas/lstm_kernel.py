@@ -476,6 +476,278 @@ def _fused_bwd(emb_tm, w_ih_t, w_hh_t, bias_row, hs, cs, dhs, ntiles, tmax):
     return demb, dwih, dwhh, jnp.sum(db_rows, axis=0)
 
 
+def _fused_fwd_last_kernel(ntl_ref, tmax_ref, bias_ref, lens_ref, emb_ref,
+                           wih_ref, whh_ref, hs_ref, cs_ref, last_ref,
+                           h_scr, c_scr):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = jnp.zeros_like(h_scr)
+        c_scr[:] = jnp.zeros_like(c_scr)
+        last_ref[:] = jnp.zeros_like(last_ref)
+
+    @pl.when(b < ntl_ref[t])
+    def _():
+        h = h_scr[:]
+        c = c_scr[:]
+        x = emb_ref[0]
+        gates = (
+            jnp.dot(x, wih_ref[:], preferred_element_type=jnp.float32)
+            + bias_ref[0]
+            + jnp.dot(h.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32)
+        )
+        H = h.shape[-1]
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        h_scr[:] = h
+        c_scr[:] = c
+        hs_ref[0] = h.astype(hs_ref.dtype)
+        cs_ref[0] = c.astype(cs_ref.dtype)
+        # the last-state select, fused: row r's representation is h at its
+        # last non-pad step (reference: openkge/model.py:969-978).  The
+        # [B, H] output block is constant over t, so it stays VMEM-resident
+        # for the whole tile and flushes once — the [L, B, H] gather the
+        # caller used to do disappears.
+        mask = (lens_ref[0] == t + 1)[:, None]
+        last_ref[:] = jnp.where(mask, h.astype(last_ref.dtype), last_ref[:])
+
+
+def _fused_fwd_last(emb_tm, w_ih_t, w_hh_t, bias_row, lens_row, ntiles, tmax):
+    L, B, D = emb_tm.shape
+    H4 = w_ih_t.shape[1]
+    H = H4 // 4
+    dt = emb_tm.dtype
+    TB = _pick_tile(B)
+    clamp = lambda b, t, ntl, tmx: (jnp.minimum(t, tmx[b] - 1), b, 0)
+    const = lambda b, t, ntl, tmx: (0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B // TB, L),
+        in_specs=[
+            pl.BlockSpec((1, H4), const, memory_space=pltpu.VMEM),       # bias
+            pl.BlockSpec((1, TB), lambda b, t, ntl, tmx: (0, b), memory_space=pltpu.VMEM),  # lens
+            pl.BlockSpec((1, TB, D), clamp, memory_space=pltpu.VMEM),    # emb
+            pl.BlockSpec((D, H4), const, memory_space=pltpu.VMEM),       # w_ih
+            pl.BlockSpec((H, H4), const, memory_space=pltpu.VMEM),       # w_hh
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TB, H), clamp, memory_space=pltpu.VMEM),    # hs
+            pl.BlockSpec((1, TB, H), clamp, memory_space=pltpu.VMEM),    # cs
+            pl.BlockSpec((TB, H), lambda b, t, ntl, tmx: (b, 0), memory_space=pltpu.VMEM),  # last
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+        ],
+    )
+    hs, cs, last = pl.pallas_call(
+        _fused_fwd_last_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((L, B, H), dt),
+            jax.ShapeDtypeStruct((L, B, H), dt),
+            jax.ShapeDtypeStruct((B, H), dt),
+        ],
+    )(ntiles, tmax, bias_row, lens_row, emb_tm, w_ih_t, w_hh_t)
+    return hs, cs, last
+
+
+def _fused_bwd_last_kernel(ntl_ref, tmax_ref, bias_ref, lens_ref, emb_ref,
+                           wih_ref, whh_ref, cs_ref, hprev_ref, cprev_ref,
+                           dlast_ref, demb_ref, dwih_ref, dwhh_ref, db_ref,
+                           dh_scr, dc_scr):
+    b = pl.program_id(0)
+    t_rev = pl.program_id(1)
+    L = pl.num_programs(1)
+    t = L - 1 - t_rev
+
+    @pl.when((b == 0) & (t_rev == 0))
+    def _():
+        dwih_ref[:] = jnp.zeros_like(dwih_ref)
+        dwhh_ref[:] = jnp.zeros_like(dwhh_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+
+    @pl.when(t == tmax_ref[b] - 1)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+
+    @pl.when(b < ntl_ref[t])
+    def _():
+        not_first = (t > 0).astype(jnp.float32)
+        x = emb_ref[0]
+        h_prev = hprev_ref[0] * not_first.astype(hprev_ref.dtype)
+        c_prev = cprev_ref[0].astype(jnp.float32) * not_first
+        c_t = cs_ref[0].astype(jnp.float32)
+
+        gates = (
+            jnp.dot(x, wih_ref[:], preferred_element_type=jnp.float32)
+            + bias_ref[0]
+            + jnp.dot(h_prev.astype(whh_ref.dtype), whh_ref[:], preferred_element_type=jnp.float32)
+        )
+        H = c_t.shape[-1]
+        i = jax.nn.sigmoid(gates[:, :H])
+        f = jax.nn.sigmoid(gates[:, H : 2 * H])
+        g = jnp.tanh(gates[:, 2 * H : 3 * H])
+        o = jax.nn.sigmoid(gates[:, 3 * H :])
+
+        # the output cotangent enters ONLY at each row's last non-pad step
+        # — the caller never materializes a [L, B, H] dhs; the [B, H] dlast
+        # block is VMEM-resident for the whole tile
+        inject = (lens_ref[0] == t + 1)[:, None]
+        dh = dh_scr[:] + jnp.where(inject, dlast_ref[:].astype(jnp.float32), 0.0)
+        tc = jnp.tanh(c_t)
+        do = dh * tc
+        dc = dc_scr[:] + dh * o * (1.0 - tc * tc)
+        di = dc * g
+        df = dc * c_prev
+        dg = dc * i
+        dc_prev = dc * f
+
+        dgates = jnp.concatenate(
+            [
+                di * i * (1.0 - i),
+                df * f * (1.0 - f),
+                dg * (1.0 - g * g),
+                do * o * (1.0 - o),
+            ],
+            axis=-1,
+        )
+        dg_lo = dgates.astype(wih_ref.dtype)
+        demb_ref[0] = jax.lax.dot_general(
+            dg_lo, wih_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(demb_ref.dtype)
+        dh_scr[:] = jax.lax.dot_general(
+            dg_lo, whh_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dc_scr[:] = dc_prev
+        dwih_ref[:] += jax.lax.dot_general(
+            x, dg_lo, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dwhh_ref[:] += jax.lax.dot_general(
+            h_prev, dg_lo, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        db_ref[:] += dgates
+
+
+def _fused_bwd_last(emb_tm, w_ih_t, w_hh_t, bias_row, lens_row, hs, cs, dlast,
+                    ntiles, tmax):
+    L, B, D = emb_tm.shape
+    H4 = w_ih_t.shape[1]
+    H = H4 // 4
+    dt = emb_tm.dtype
+    TB = min(_pick_tile(B), 128)
+    t_eff = lambda t, tmx, b: jnp.minimum(L - 1 - t, tmx[b] - 1)
+    rev = lambda b, t, ntl, tmx: (t_eff(t, tmx, b), b, 0)
+    rev_prev = lambda b, t, ntl, tmx: (jnp.maximum(t_eff(t, tmx, b) - 1, 0), b, 0)
+    const = lambda b, t, ntl, tmx: (0, 0)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B // TB, L),
+        in_specs=[
+            pl.BlockSpec((1, H4), const, memory_space=pltpu.VMEM),   # bias
+            pl.BlockSpec((1, TB), lambda b, t, ntl, tmx: (0, b), memory_space=pltpu.VMEM),  # lens
+            pl.BlockSpec((1, TB, D), rev, memory_space=pltpu.VMEM),  # emb
+            pl.BlockSpec((D, H4), const, memory_space=pltpu.VMEM),   # w_ih
+            pl.BlockSpec((H, H4), const, memory_space=pltpu.VMEM),   # w_hh
+            pl.BlockSpec((1, TB, H), rev, memory_space=pltpu.VMEM),  # cs
+            pl.BlockSpec((1, TB, H), rev_prev, memory_space=pltpu.VMEM),  # hs[t-1]
+            pl.BlockSpec((1, TB, H), rev_prev, memory_space=pltpu.VMEM),  # cs[t-1]
+            pl.BlockSpec((TB, H), lambda b, t, ntl, tmx: (b, 0), memory_space=pltpu.VMEM),  # dlast
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TB, D), rev, memory_space=pltpu.VMEM),  # demb
+            pl.BlockSpec((D, H4), const, memory_space=pltpu.VMEM),   # dW_ih
+            pl.BlockSpec((H, H4), const, memory_space=pltpu.VMEM),   # dW_hh
+            pl.BlockSpec((TB, H4), lambda b, t, ntl, tmx: (0, 0), memory_space=pltpu.VMEM),  # db rows
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((TB, H), jnp.float32),
+            pltpu.VMEM((TB, H), jnp.float32),
+        ],
+    )
+    demb, dwih, dwhh, db_rows = pl.pallas_call(
+        _fused_bwd_last_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((L, B, D), dt),
+            jax.ShapeDtypeStruct((D, H4), jnp.float32),
+            jax.ShapeDtypeStruct((H, H4), jnp.float32),
+            jax.ShapeDtypeStruct((TB, H4), jnp.float32),
+        ],
+        # same working-set arithmetic as _fused_bwd (one streamed sequence
+        # block fewer: dlast [TB, H] is tile-constant where dhs was per-step)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
+    )(ntiles, tmax, bias_row, lens_row, emb_tm, w_ih_t, w_hh_t, cs, hs, cs, dlast)
+    return demb, dwih, dwhh, jnp.sum(db_rows, axis=0)
+
+
+def lstm_encode_last_fused(emb_tm, w_ih_t, w_hh_t, bias, lengths_sorted):
+    """Length-aware fused LSTM returning ONLY each row's last non-pad
+    state: [L, B, D] (rows sorted by descending length) -> [B, H].
+
+    Versus :func:`lstm_encode_fused` + a host-side gather this removes the
+    [L, B, H] output round-trip in the forward (the caller's
+    ``take_along_axis``) and — the larger win — the backward's [L, B, H]
+    dhs cotangent assembly (a scatter of the [B, H] cotangent into a zero
+    tensor, measured 0.67 ms/step at the flagship shape): the [B, H]
+    cotangent is injected inside the kernel at each row's last step.
+    hs/cs are still written as backward residuals.
+    """
+    L, B, D = emb_tm.shape
+
+    def plan(TB):
+        lens = jnp.maximum(lengths_sorted, 1)
+        n_t = jnp.sum(lens[None, :] > jnp.arange(L)[:, None], axis=1)
+        ntiles = -(-n_t // TB)
+        tmax = jnp.sum(
+            ntiles[None, :] > jnp.arange(B // TB)[:, None], axis=1, dtype=jnp.int32
+        )
+        return ntiles.astype(jnp.int32), jnp.maximum(tmax, 1)
+
+    bias_row = bias.astype(jnp.float32).reshape(1, -1)
+    lens_row = jnp.maximum(lengths_sorted, 1).astype(jnp.int32).reshape(1, -1)
+
+    # lens_row is closed over (not a primal): integer inputs have no
+    # cotangent and the plan/lengths are functions of the token ids only
+    @jax.custom_vjp
+    def run(emb, wih, whh, brow):
+        ntl, tmx = plan(_pick_tile(B))
+        _, _, last = _fused_fwd_last(emb, wih, whh, brow, lens_row, ntl, tmx)
+        return last
+
+    def fwd(emb, wih, whh, brow):
+        ntl, tmx = plan(_pick_tile(B))
+        hs, cs, last = _fused_fwd_last(emb, wih, whh, brow, lens_row, ntl, tmx)
+        return last, (emb, wih, whh, brow, hs, cs)
+
+    def bwd(res, dlast):
+        emb, wih, whh, brow, hs, cs = res
+        ntl, tmx = plan(min(_pick_tile(B), 128))
+        demb, dwih, dwhh, db = _fused_bwd_last(
+            emb, wih, whh, brow, lens_row, hs, cs, dlast.astype(emb.dtype), ntl, tmx
+        )
+        return (
+            demb, dwih.astype(wih.dtype), dwhh.astype(whh.dtype),
+            db.reshape(1, -1),
+        )
+
+    run.defvjp(fwd, bwd)
+    return run(emb_tm, w_ih_t, w_hh_t, bias_row)
+
+
 def lstm_encode_fused(emb_tm, w_ih_t, w_hh_t, bias, lengths_sorted):
     """Length-aware fused LSTM over descending-length-sorted sequences.
 

@@ -66,6 +66,69 @@ from open_knowledge_graph_embeddings_tpu.utils.misc import next_bucket
 SPARSE_CAPABLE_OPTIMIZERS = ("Adagrad", "SGD")
 
 
+def host_length_sort_perm(toks: np.ndarray) -> np.ndarray:
+    """Host replica of the device's stable descending-length counting sort
+    (ops/lstm.py length_sort_perm): ``order`` such that ``toks[order]`` is
+    the row order the fused LSTM encoder sees.  Both sides sort stably on
+    the same key (max_len - length), so the permutations are identical —
+    pinned by a unit test against the device implementation."""
+    L = toks.shape[1]
+    lengths = (toks > 0).sum(axis=1)
+    return np.argsort(L - lengths, kind="stable").astype(np.int32)
+
+
+def build_token_grad_plan(
+    toks: np.ndarray, layout_height: int, K: int = 8, bucket_min: int = 256,
+) -> Dict[str, np.ndarray]:
+    """Slot plan for the gather-sum token-table backward
+    (models/embedders.py token_gather_tm ``grad_plan``).
+
+    ``toks`` [R, L] are the (remapped) token ids exactly as the batch's
+    row-encoder will see them; positions are flat *time-major* indices into
+    the length-sorted layout (p = t * R + sorted_row), matching the
+    [L, R, d] cotangent the LSTM path produces.  Non-pad positions are
+    grouped by token id into slots of ``K``; a token with c occurrences
+    uses ceil(c / K) slots, so the device-side level-2 scatter touches
+    ~P/K rows instead of P.  Pad positions are simply absent (their
+    cotangents are exactly zero in the scan path and unread garbage in the
+    fused path — either way they must not be accumulated).
+    """
+    R, L = toks.shape
+    order = host_length_sort_perm(toks)
+    ids_flat = toks[order].T.reshape(-1)  # time-major [L*R]
+    keep = np.flatnonzero(ids_flat != 0)
+    o = np.argsort(ids_flat[keep], kind="stable")
+    ids_s = ids_flat[keep][o]
+    pos_s = keep[o].astype(np.int32)
+    n = len(ids_s)
+    if n == 0:
+        S = next_bucket(1, minimum=bucket_min)
+        return {
+            "pos": np.zeros((S, K), np.int32),
+            "valid": np.zeros((S, K), bool),
+            "uid": np.full(S, layout_height, np.int32),
+        }
+    change = np.empty(n, bool)
+    change[0] = True
+    change[1:] = ids_s[1:] != ids_s[:-1]
+    run_id = np.cumsum(change) - 1
+    run_start = np.flatnonzero(change)
+    off = np.arange(n) - run_start[run_id]
+    run_len = np.diff(np.append(run_start, n))
+    slots_per_run = -(-run_len // K)
+    slot_base = np.concatenate(([0], np.cumsum(slots_per_run)[:-1]))
+    slot_of = (slot_base[run_id] + off // K).astype(np.int64)
+    S_real = int(slots_per_run.sum())
+    S = next_bucket(S_real, minimum=bucket_min)
+    pos_m = np.zeros((S, K), np.int32)
+    valid = np.zeros((S, K), bool)
+    uid = np.full(S, layout_height, np.int32)  # out of range -> dropped
+    pos_m[slot_of, off % K] = pos_s
+    valid[slot_of, off % K] = True
+    uid[slot_of] = ids_s
+    return {"pos": pos_m, "valid": valid, "uid": uid}
+
+
 def sparse_table_names(embedder, entity_sparse: bool) -> Tuple[str, ...]:
     """Tables eligible for row-sparse updates.  Entity-side tables are only
     sparse under batch-shared candidates — full-vocab training touches every
@@ -102,6 +165,7 @@ class SparsePlanBuilder:
         uid_bucket_min: int = 256,
         min_rows_ratio: float = 12.0,
         layout: Optional[str] = None,
+        grad_plan: bool = True,
     ):
         """``min_rows_ratio``: a table is only sparsified for a batch when
         its height exceeds ``ratio x touched-rows`` — below that the dense
@@ -129,6 +193,14 @@ class SparsePlanBuilder:
         self.layout = layout
         self.tables = sparse_table_names(embedder, entity_sparse)
         self.is_token = isinstance(embedder, TokenEmbedderBase)
+        # the gather-sum backward plan is consumed by the LSTM embedder's
+        # time-major sorted layout; its position indices reference the
+        # GLOBAL batch, so it is disabled on data-sharded meshes (the
+        # trainer passes grad_plan=False there) where the plain per-shard
+        # scatter composes with GSPMD partitioning instead
+        from open_knowledge_graph_embeddings_tpu.models.embedders import LSTMEmbedder
+
+        self.grad_plan = bool(grad_plan) and isinstance(embedder, LSTMEmbedder)
         if entity_sparse and not self.tables:
             raise ValueError(f"no sparse tables for embedder {type(embedder).__name__}")
 
@@ -179,6 +251,26 @@ class SparsePlanBuilder:
         else:
             self._plan_lookup(d, batch)
         return d
+
+    def _emit_grad_plan(self, d: Dict[str, Any], kind: str, table: str) -> None:
+        """Attach the gather-sum backward plan for one token table (see
+        :func:`build_token_grad_plan`); keyed so the sparse step can route
+        it into the model buffers as ``{kind}_token_grad_plan``."""
+        if not self.grad_plan:
+            return
+        toks = d[f"sparse/buffers/{kind}_token_ids"]
+        if kind == "entity":
+            # the model encodes candidates and query entities in ONE LSTM
+            # pass with candidates FIRST (models/model.py
+            # prefix_queries_and_candidates -> encode_entity_pair(cand_ids,
+            # ent_ids)), so the plan's row order must match that
+            # concatenation, not the buffer order.  Pinned by the
+            # plan-vs-scatter gradient equality test.
+            B = len(d["ent_ids"])
+            toks = np.concatenate([toks[B:], toks[:B]])
+        height = len(d[f"sparse/{table}/uids"])
+        for k, v in build_token_grad_plan(toks, height).items():
+            d[f"sparse/plan/{kind}_token/{k}"] = v
 
     # ------------------------------------------------ accumulation windows
 
@@ -256,6 +348,7 @@ class SparsePlanBuilder:
                         B, B + len(b.candidate_ids), dtype=np.int32
                     )
                     d["sparse/buffers/entity_token_ids"] = remap(toks)
+                    self._emit_grad_plan(d, "entity", "entity_token_embedding")
         rtoks_list = [meta.relation_token_ids[b.rel_ids] for b in batches]
         plan = {}
         remap = self._pack_rows(
@@ -268,6 +361,7 @@ class SparsePlanBuilder:
             if remap is not None:
                 d["rel_ids"] = np.arange(len(b.rel_ids), dtype=np.int32)
                 d["sparse/buffers/relation_token_ids"] = remap(rtoks)
+                self._emit_grad_plan(d, "relation", "relation_token_embedding")
 
     def _plan_lookup(self, d: Dict[str, Any], batch: Batch) -> None:
         meta = self.embedder.meta
@@ -306,6 +400,7 @@ class SparsePlanBuilder:
                     B, B + len(batch.candidate_ids), dtype=np.int32
                 )
                 d["sparse/buffers/entity_token_ids"] = remap(toks)
+                self._emit_grad_plan(d, "entity", "entity_token_embedding")
         rtoks = meta.relation_token_ids[batch.rel_ids]  # [B, L]
         remap = self._pack_rows(
             d, "relation_token_embedding", np.union1d(np.int32(0), rtoks),
@@ -314,6 +409,7 @@ class SparsePlanBuilder:
         if remap is not None:
             d["rel_ids"] = np.arange(len(batch.rel_ids), dtype=np.int32)
             d["sparse/buffers/relation_token_ids"] = remap(rtoks)
+            self._emit_grad_plan(d, "relation", "relation_token_embedding")
 
 
 # ------------------------------------------------------------- row updates
@@ -338,6 +434,26 @@ def _sparse_sgd_rows(g_rows, uids, valid, p, s, hp, block_ids=None):
 
 
 _SPARSE_RULES = {"Adagrad": _sparse_adagrad_rows, "SGD": _sparse_sgd_rows}
+
+
+def _batch_buffers(variables, batch) -> Dict[str, Any]:
+    """Model buffers for a sparse batch: batch-local token matrices replace
+    the device-resident buffers, and gather-sum backward plans (if the
+    builder emitted them) ride along as ``{kind}_token_grad_plan``."""
+    buffers = dict(variables["buffers"])
+    for bk in ("entity_token_ids", "relation_token_ids"):
+        key = f"sparse/buffers/{bk}"
+        if key in batch:
+            buffers[bk] = batch[key]
+    for kind in ("entity", "relation"):
+        pk = f"sparse/plan/{kind}_token/pos"
+        if pk in batch:
+            buffers[f"{kind}_token_grad_plan"] = {
+                "pos": batch[pk],
+                "valid": batch[f"sparse/plan/{kind}_token/valid"],
+                "uid": batch[f"sparse/plan/{kind}_token/uid"],
+            }
+    return buffers
 
 
 # ------------------------------------------------------------------- step
@@ -385,11 +501,7 @@ def make_sparse_train_step(
     @partial(jax.jit, donate_argnums=(0, 1))
     def step(variables, opt_state, hparams, batch, rng):
         params, state = variables["params"], variables["state"]
-        buffers = dict(variables["buffers"])
-        for bk in ("entity_token_ids", "relation_token_ids"):
-            key = f"sparse/buffers/{bk}"
-            if key in batch:
-                buffers[bk] = batch[key]
+        buffers = _batch_buffers(variables, batch)
         # which tables actually carry a sparse plan is decided per batch by
         # the SparsePlanBuilder (small tables fall back to dense updates);
         # resolved here at trace time from the batch's key set
@@ -498,11 +610,7 @@ def make_sparse_accum_steps(
     @partial(jax.jit, donate_argnums=(0, 1))
     def grad_step(variables, acc, batch, rng):
         params, state = variables["params"], variables["state"]
-        buffers = dict(variables["buffers"])
-        for bk in ("entity_token_ids", "relation_token_ids"):
-            key = f"sparse/buffers/{bk}"
-            if key in batch:
-                buffers[bk] = batch[key]
+        buffers = _batch_buffers(variables, batch)
         sparse_tables = _window_tables(batch)
         uids = {t: batch[f"sparse/{t}/uids"] for t in sparse_tables}
         rows = {t: params[t][uids[t]] for t in sparse_tables}

@@ -143,6 +143,10 @@ class Trainer:
                 self._sparse_plan = SparsePlanBuilder(
                     model.embedder, entity_sparse,
                     min_rows_ratio=float(args.get("sparse_min_ratio", 12.0)),
+                    # the gather-sum token-table backward plan references
+                    # global batch positions; on data-sharded meshes the
+                    # per-shard scatter composes with GSPMD instead
+                    grad_plan=self.mesh is None,
                 )
                 logger.info(
                     "row-sparse updates for tables %s (entity_sparse=%s)",
@@ -722,23 +726,18 @@ class Trainer:
             "optimizer_host_state": self.regimes.host_state(),
             "results": self.results.to_dicts(),
         }
-        variables, opt_state = self.variables, self.opt_state
         if self.process_count > 1:
-            # replicate across the mesh (collective — every process calls
-            # save() in lockstep), then only rank 0 touches the filesystem
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            rep = NamedSharding(self.mesh, PartitionSpec())
-            small = {"params": variables["params"], "state": variables["state"]}
-            rep_tree = jax.tree_util.tree_map(lambda _: rep, (small, opt_state))
-            small, opt_state = jax.jit(lambda t: t, out_shardings=rep_tree)(
-                (small, opt_state)
+            # per-shard collective save: every process writes only the
+            # shards it owns to the shared experiment dir — no
+            # replicate-to-all-chips gather (which at the north-star scale
+            # would materialize ~10 GB of sharded tables on every chip)
+            return self.ckpt.save_sharded(
+                self.variables, self.opt_state, meta, self.process_index,
+                is_best=is_best, tags=tags, save_all=save_all,
             )
-            variables = {**small, "buffers": {}}
-            if self.process_index != 0:
-                return None
         path = self.ckpt.save(
-            variables, opt_state, meta, is_best=is_best, tags=tags, save_all=save_all
+            self.variables, self.opt_state, meta,
+            is_best=is_best, tags=tags, save_all=save_all,
         )
         if wait:
             self.ckpt.wait()

@@ -165,6 +165,40 @@ class TestFusedLengthAwareLSTM:
         a, b = np.asarray(gx1), np.asarray(gx2)
         np.testing.assert_allclose(a[active], b[active], rtol=1e-4, atol=1e-5)
 
+    def test_last_fused_matches_scan(self):
+        """lstm_last_fused (in-kernel last-state select + dlast injection)
+        must match scan + take_along_axis in value AND all gradients."""
+        L, B, D, params, lens_j, lens, emb = self._setup()
+
+        def loss_fused(p, x):
+            last = lstm_mod.lstm_last_fused(p, x, lens_j)
+            return jnp.sum(last ** 2)
+
+        def loss_ref(p, x):
+            return jnp.sum(self._select(lstm_mod.lstm_forward_tm(p, x), lens_j, L) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            v1, (gp1, gx1) = jax.value_and_grad(loss_fused, argnums=(0, 1))(params, emb)
+        v2, (gp2, gx2) = jax.value_and_grad(loss_ref, argnums=(0, 1))(params, emb)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-5)
+        for k in gp1:
+            np.testing.assert_allclose(
+                np.asarray(gp1[k]), np.asarray(gp2[k]), rtol=1e-4, atol=1e-5, err_msg=k
+            )
+        active = np.arange(L)[:, None] < np.maximum(lens, 1)[None, :]
+        a, b = np.asarray(gx1), np.asarray(gx2)
+        np.testing.assert_allclose(a[active], b[active], rtol=1e-4, atol=1e-5)
+
+    def test_last_fused_value_matches_full_fused(self):
+        """The new last-state kernel and the full-sequence kernel agree."""
+        L, B, D, params, lens_j, lens, emb = self._setup()
+        with pltpu.force_tpu_interpret_mode():
+            last = lstm_mod.lstm_last_fused(params, emb, lens_j)
+            full = self._select(
+                lstm_mod.lstm_forward_tm_sorted(params, emb, lens_j), lens_j, L
+            )
+        np.testing.assert_allclose(np.asarray(last), np.asarray(full), rtol=1e-5, atol=1e-6)
+
     @pytest.mark.tpu
     @pytest.mark.skipif(
         jax.default_backend() not in ("tpu", "axon"),

@@ -104,10 +104,105 @@ def test_sparse_matches_dense(model_name, batch_shared, layout):
     flat_d = jax.tree_util.tree_flatten_with_path(v_dense["params"])[0]
     flat_s = dict(jax.tree_util.tree_flatten_with_path(v_sparse["params"])[0])
     for kp, leaf in flat_d:
+        # atol floor: the sparse path's gather-sum token-table backward
+        # (grad_plan) sums slot contributions in a different order than the
+        # dense scatter — f32 rounding puts isolated elements at ~3e-6
+        # after 3 Adagrad steps; a plan bug (missing/extra position) lands
+        # at lr scale (~1e-2)
         np.testing.assert_allclose(
-            np.asarray(leaf), np.asarray(flat_s[kp]), rtol=2e-5, atol=2e-6,
+            np.asarray(leaf), np.asarray(flat_s[kp]), rtol=2e-5, atol=5e-6,
             err_msg=str(kp),
         )
+
+
+def test_host_length_sort_replicates_device_sort():
+    """The gather-sum plan positions assume the host's counting sort equals
+    the device's (ops/lstm.py length_sort_perm) — pin the replica."""
+    from open_knowledge_graph_embeddings_tpu.ops.lstm import length_sort_perm
+    from open_knowledge_graph_embeddings_tpu.train.sparse import host_length_sort_perm
+
+    rng = np.random.default_rng(3)
+    for trial in range(5):
+        R, L = rng.integers(5, 60), int(rng.integers(2, 11))
+        lens = rng.integers(0, L + 1, R)
+        toks = np.zeros((R, L), np.int32)
+        for r in range(R):
+            toks[r, : lens[r]] = rng.integers(1, 99, lens[r])
+        order_h = host_length_sort_perm(toks)
+        order_d, _ = length_sort_perm(jnp.asarray((toks > 0).sum(1)), L)
+        np.testing.assert_array_equal(order_h, np.asarray(order_d), err_msg=str(trial))
+
+
+def test_token_grad_plan_matches_scatter():
+    """build_token_grad_plan + the gather-sum VJP == the dense scatter VJP
+    for random Zipf-duplicated token matrices (incl. all-pad rows and
+    heavy-duplication tokens spanning multiple slots)."""
+    from open_knowledge_graph_embeddings_tpu.models.embedders import token_gather_tm
+    from open_knowledge_graph_embeddings_tpu.train.sparse import (
+        build_token_grad_plan,
+        host_length_sort_perm,
+    )
+
+    rng = np.random.default_rng(7)
+    for trial in range(4):
+        R, L, U, d = int(rng.integers(8, 50)), int(rng.integers(2, 9)), 23, 16
+        lens = rng.integers(0, L + 1, R)
+        toks = np.zeros((R, L), np.int32)
+        for r in range(R):
+            toks[r, : lens[r]] = rng.zipf(1.4, lens[r]) % (U - 1) + 1
+        plan = {
+            k: jnp.asarray(v)
+            for k, v in build_token_grad_plan(toks, U, K=4, bucket_min=8).items()
+        }
+        table = jnp.asarray(rng.standard_normal((U, d)).astype(np.float32))
+        toks_sorted = jnp.asarray(toks[host_length_sort_perm(toks)].T)  # [L, R]
+
+        def loss(tbl, p):
+            emb = token_gather_tm(tbl, toks_sorted, jnp.float32, time_major=True, grad_plan=p)
+            return jnp.sum(jnp.sin(emb * 1.7) * emb)
+
+        g_scatter = jax.grad(lambda t: loss(t, None))(table)
+        g_plan = jax.grad(lambda t: loss(t, plan))(table)
+        np.testing.assert_allclose(
+            np.asarray(g_plan), np.asarray(g_scatter), rtol=1e-5, atol=1e-5,
+            err_msg=str(trial),
+        )
+
+
+def test_sparse_batches_carry_grad_plan_for_lstm():
+    """The SparsePlanBuilder emits gather-sum plans for LSTM embedders (and
+    only those), and the plan covers every non-pad position exactly once."""
+    meta = _synthetic_meta(entities=64, relations=16, ent_tokens=48, rel_tokens=24, max_len=6)
+    rng = np.random.default_rng(0)
+    batch = _mk_batch(meta, rng, batch_shared=True)
+
+    lstm = build_model("LSTMComplexRelationModel", meta, entity_slot_size=16)
+    plan_b = SparsePlanBuilder(lstm.embedder, entity_sparse=True, min_rows_ratio=0.0)
+    d = plan_b(batch)
+    assert "sparse/plan/entity_token/pos" in d
+    assert "sparse/plan/relation_token/pos" in d
+    # coverage: valid cells == non-pad positions, each position once
+    toks = d["sparse/buffers/entity_token_ids"]
+    n_nonpad = int((toks > 0).sum())
+    pos = d["sparse/plan/entity_token/pos"]
+    valid = d["sparse/plan/entity_token/valid"]
+    assert int(valid.sum()) == n_nonpad
+    assert len(np.unique(pos[valid])) == n_nonpad
+    # uid rows are within the union layout or the out-of-range sentinel
+    height = len(d["sparse/entity_token_embedding/uids"])
+    uid = d["sparse/plan/entity_token/uid"]
+    assert ((uid >= 0) & (uid <= height)).all()
+
+    # non-LSTM token embedders keep the plain scatter path
+    uni = build_model("UnigramPoolingComplexRelationModel", meta, entity_slot_size=16)
+    d2 = SparsePlanBuilder(uni.embedder, entity_sparse=True, min_rows_ratio=0.0)(batch)
+    assert not any(k.startswith("sparse/plan/") for k in d2)
+
+    # grad_plan=False (data-sharded meshes) suppresses plans entirely
+    d3 = SparsePlanBuilder(
+        lstm.embedder, entity_sparse=True, min_rows_ratio=0.0, grad_plan=False
+    )(batch)
+    assert not any(k.startswith("sparse/plan/") for k in d3)
 
 
 def test_sparse_lazy_weight_decay_touched_rows_match_dense():
