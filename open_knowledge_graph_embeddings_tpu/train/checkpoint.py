@@ -11,6 +11,17 @@ batch-norm state and optimizer accumulators flattened to slash-joined path
 keys) and ``meta.json`` (step counters, config, host-side optimizer phase
 state, results history).  Buffers (token-id matrices) are *not* saved — they
 are derived from the dataset and rebuilt at model construction.
+
+Multi-process runs use a **per-shard** format instead: each process writes
+``arrays.p{rank}.npz`` + ``index.p{rank}.json`` containing only the array
+shards whose replica 0 it owns (so each global shard is written exactly
+once, by one process), and rank 0 writes ``meta.json`` last as the
+completion marker.  Loading reassembles per-process via
+``jax.make_array_from_callback`` against the *target* leaves' shardings —
+no process ever materializes a full sharded table on the host.  At the
+north-star scale (2.47M x 512 entity table + its Adagrad accumulator,
+~10 GB f32) the previous replicate-to-all-chips save was exactly the OOM
+the model axis exists to avoid.
 """
 
 from __future__ import annotations
@@ -110,6 +121,201 @@ def load_checkpoint_meta(path: str) -> Dict[str, Any]:
         return json.load(f)
 
 
+# ------------------------------------------------- per-shard save/load
+
+
+def local_checkpoint_chunks(
+    arrays_tree: Dict[str, Any],
+) -> Tuple[Dict[str, np.ndarray], Dict[str, Dict[str, Any]]]:
+    """This process's slab of a sharded checkpoint.
+
+    For each leaf, every addressable shard with ``replica_id == 0`` becomes
+    one chunk — across processes each distinct global shard has exactly one
+    replica 0, so the union of all slabs covers every array exactly once
+    with no full-array gather anywhere.  Returns ``(chunks, index)`` where
+    ``chunks`` maps npz entry names to host arrays and ``index`` maps flat
+    keys to ``{"shape", "dtype", "chunks": [{"entry", "start", "stop"}]}``.
+    """
+    chunks: Dict[str, np.ndarray] = {}
+    index: Dict[str, Dict[str, Any]] = {}
+    for key, leaf in arrays_tree.items():
+        shape = tuple(getattr(leaf, "shape", ()))
+        entry_list = []
+        if isinstance(leaf, jax.Array) and hasattr(leaf, "addressable_shards"):
+            seen = set()
+            for shard in leaf.addressable_shards:
+                if shard.replica_id != 0:
+                    continue
+                norm = tuple(
+                    sl.indices(dim) for sl, dim in zip(shard.index, shape)
+                ) if shard.index else ()
+                if norm in seen:
+                    continue
+                seen.add(norm)
+                entry = f"{key}::{len(entry_list)}"
+                chunks[entry] = np.asarray(shard.data)
+                entry_list.append({
+                    "entry": entry,
+                    "start": [s[0] for s in norm],
+                    "stop": [s[1] for s in norm],
+                })
+            dtype = str(np.dtype(leaf.dtype))
+        else:
+            arr = np.asarray(leaf)
+            entry = f"{key}::0"
+            chunks[entry] = arr
+            entry_list.append({
+                "entry": entry,
+                "start": [0] * arr.ndim,
+                "stop": list(arr.shape),
+            })
+            dtype = str(arr.dtype)
+        if entry_list:
+            index[key] = {"shape": list(shape), "dtype": dtype, "chunks": entry_list}
+    return chunks, index
+
+
+def gather_local_shard_tree(variables: Any, opt_state: Any) -> Dict[str, Any]:
+    """Flat {key -> leaf} WITHOUT host transfer (leaves stay jax.Arrays so
+    the chunker can read per-shard)."""
+    out: Dict[str, Any] = {}
+    for prefix, tree in (("params", variables.get("params", {})),
+                         ("state", variables.get("state", {})),
+                         ("opt", opt_state)):
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            path = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+            out[f"{prefix}/{path}" if path else prefix] = leaf
+    return out
+
+
+def write_shard_slab(directory: str, rank: int, chunks, index) -> None:
+    np.savez(os.path.join(directory, f"arrays.p{rank}.npz"), **chunks)
+    with open(os.path.join(directory, f"index.p{rank}.json"), "w") as f:
+        json.dump(index, f)
+
+
+class _FullReader:
+    """Single-file checkpoint (arrays.npz) behind the reader interface."""
+
+    def __init__(self, path: str):
+        self._z = np.load(os.path.join(path, "arrays.npz"))
+
+    def keys(self):
+        return list(self._z.files)
+
+    def shape(self, key):
+        return self._z[key].shape  # npz caches per-entry; fine at this size
+
+    def read_full(self, key):
+        return self._z[key]
+
+    def read_region(self, key, norm_idx):
+        return self._z[key][tuple(slice(a, b) for a, b in norm_idx)]
+
+
+class _ShardReader:
+    """Per-shard checkpoint: lazily opens only the slab files that contain
+    chunks overlapping a requested region."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self.index: Dict[str, Dict[str, Any]] = {}
+        self._chunk_file: Dict[str, str] = {}  # entry -> slab file
+        self._open: Dict[str, Any] = {}
+        import glob
+
+        for idx_file in sorted(glob.glob(os.path.join(path, "index.p*.json"))):
+            slab = idx_file.replace("index.p", "arrays.p").replace(".json", ".npz")
+            with open(idx_file) as f:
+                part = json.load(f)
+            for key, info in part.items():
+                entry = self.index.setdefault(
+                    key, {"shape": info["shape"], "dtype": info["dtype"], "chunks": []}
+                )
+                entry["chunks"].extend(info["chunks"])
+                for c in info["chunks"]:
+                    self._chunk_file[c["entry"]] = slab
+
+    def keys(self):
+        return list(self.index)
+
+    def shape(self, key):
+        return tuple(self.index[key]["shape"])
+
+    def _load_entry(self, entry: str) -> np.ndarray:
+        slab = self._chunk_file[entry]
+        if slab not in self._open:
+            self._open[slab] = np.load(slab)
+        return self._open[slab][entry]
+
+    def read_region(self, key, norm_idx) -> np.ndarray:
+        info = self.index[key]
+        shape = tuple(info["shape"])
+        if not shape:  # scalar
+            return self._load_entry(info["chunks"][0]["entry"])
+        out_shape = tuple(b - a for a, b in norm_idx)
+        out = np.empty(out_shape, dtype=np.dtype(info["dtype"]))
+        filled = 0
+        for c in info["chunks"]:
+            inter = [
+                (max(a, cs), min(b, ce))
+                for (a, b), cs, ce in zip(norm_idx, c["start"], c["stop"])
+            ]
+            if any(lo >= hi for lo, hi in inter):
+                continue
+            src = self._load_entry(c["entry"])
+            src_sl = tuple(
+                slice(lo - cs, hi - cs) for (lo, hi), cs in zip(inter, c["start"])
+            )
+            dst_sl = tuple(
+                slice(lo - a, hi - a) for (lo, hi), (a, _b) in zip(inter, norm_idx)
+            )
+            out[dst_sl] = src[src_sl]
+            filled += int(np.prod([hi - lo for lo, hi in inter]))
+        assert filled == int(np.prod(out_shape)), (
+            f"checkpoint chunks do not cover requested region of {key}"
+        )
+        return out
+
+    def read_full(self, key) -> np.ndarray:
+        return self.read_region(
+            key, tuple((0, d) for d in self.index[key]["shape"])
+        )
+
+
+def open_checkpoint_reader(path: str):
+    if os.path.exists(os.path.join(path, "arrays.npz")):
+        return _FullReader(path)
+    return _ShardReader(path)
+
+
+def _normalize_index(idx, shape):
+    if not idx:
+        return tuple((0, d) for d in shape)
+    return tuple(
+        (sl.indices(dim)[0], sl.indices(dim)[1]) for sl, dim in zip(idx, shape)
+    )
+
+
+def materialize_like(reader, key: str, target_leaf: Any):
+    """Build the restored leaf: sharded targets assemble per-device via
+    ``jax.make_array_from_callback`` (each process reads only the regions
+    its devices hold — no full-array host materialization); everything else
+    reads the full entry."""
+    shape = reader.shape(key)
+    if (
+        isinstance(target_leaf, jax.Array)
+        and hasattr(target_leaf, "sharding")
+        and len(target_leaf.sharding.device_set) > 1
+    ):
+        return jax.make_array_from_callback(
+            tuple(shape),
+            target_leaf.sharding,
+            lambda idx: reader.read_region(key, _normalize_index(idx, shape)),
+        )
+    return jnp.asarray(reader.read_full(key))
+
+
 def load_checkpoint(
     path: str,
     variables: Any,
@@ -123,32 +329,51 @@ def load_checkpoint(
     ``resume_filter``: whitelist of parameter paths (params/... keys) to load.
     ``weight_map``: rename checkpoint paths before matching
     (reference: openkge/trainer.py:507-510).
+
+    Works on both formats (single ``arrays.npz``, per-shard slabs); sharded
+    target leaves are reassembled shard-by-shard without a full-array host
+    copy (see :func:`materialize_like`).
     """
-    z = np.load(os.path.join(path, "arrays.npz"))
-    arrays = {k: z[k] for k in z.files}
+    reader = open_checkpoint_reader(path)
+    # ckpt key -> target key, after renames and filters
+    keymap = {k: k for k in reader.keys()}
     if weight_map:
         for old, new in weight_map.items():
-            if old in arrays:
-                arrays[new] = arrays.pop(old)
+            if old in keymap:
+                keymap[old] = new
     if resume_filter is not None:
-        keep = set()
-        for k in list(arrays):
-            bare = k.split("/", 1)[1] if "/" in k else k
-            if k.startswith("params/") and not any(f in bare for f in resume_filter):
-                del arrays[k]
-    # drop shape mismatches (strict=False semantics, reference :519-530)
+        for ck, tk in list(keymap.items()):
+            bare = tk.split("/", 1)[1] if "/" in tk else tk
+            if tk.startswith("params/") and not any(f in bare for f in resume_filter):
+                del keymap[ck]
+    # drop shape mismatches (strict=False semantics, reference :519-530) —
+    # checked from the index, no data read
     example = {}
     example.update(flatten_shapes(variables.get("params", {}), "params"))
     example.update(flatten_shapes(variables.get("state", {}), "state"))
     example.update(flatten_shapes(opt_state, "opt"))
-    for k in list(arrays):
-        if k in example and example[k] != arrays[k].shape:
-            logger.warning("skipping %s: shape %s != %s", k, arrays[k].shape, example[k])
-            del arrays[k]
+    for ck, tk in list(keymap.items()):
+        if tk in example and example[tk] != tuple(reader.shape(ck)):
+            logger.warning(
+                "skipping %s: shape %s != %s", tk, tuple(reader.shape(ck)), example[tk]
+            )
+            del keymap[ck]
+    by_target = {tk: ck for ck, tk in keymap.items()}
+
+    def restore_tree(tree: Any, prefix: str) -> Any:
+        def repl(kp, leaf):
+            p = "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in kp)
+            tk = f"{prefix}/{p}" if p else prefix
+            if tk in by_target:
+                return materialize_like(reader, by_target[tk], leaf)
+            return leaf
+
+        return jax.tree_util.tree_map_with_path(repl, tree)
+
     new_vars = dict(variables)
-    new_vars["params"] = unflatten_into(variables["params"], "params", arrays)
-    new_vars["state"] = unflatten_into(variables.get("state", {}), "state", arrays)
-    new_opt = unflatten_into(opt_state, "opt", arrays) if load_optimizer else opt_state
+    new_vars["params"] = restore_tree(variables["params"], "params")
+    new_vars["state"] = restore_tree(variables.get("state", {}), "state")
+    new_opt = restore_tree(opt_state, "opt") if load_optimizer else opt_state
     meta = load_checkpoint_meta(path)
     logger.info("loaded checkpoint %s (training_steps=%s)", path, meta.get("training_steps"))
     return new_vars, new_opt, meta
@@ -183,6 +408,24 @@ class CheckpointManager:
             self._pending.join()
             self._pending = None
 
+    def _post_write(self, path: str, name: str, meta, is_best, tags, save_all):
+        if is_best:
+            for tag in tags or ["best"]:
+                best = os.path.join(self.save_path, f"model_best-{tag}")
+                if os.path.exists(best):
+                    prev = os.path.join(self.save_path, f"model_best-{tag}-{name}")
+                    if os.path.exists(prev):
+                        shutil.rmtree(prev)
+                    shutil.move(best, prev)
+                shutil.copytree(path, best)
+        if save_all:
+            epoch_path = os.path.join(
+                self.save_path, f"checkpoint_epoch_{meta.get('epoch')}"
+            )
+            if os.path.exists(epoch_path):
+                shutil.rmtree(epoch_path)
+            shutil.copytree(path, epoch_path)
+
     def save(
         self,
         variables,
@@ -200,22 +443,7 @@ class CheckpointManager:
 
         def job():
             _write_checkpoint_files(self.save_path, name, arrays, meta)
-            if is_best:
-                for tag in tags or ["best"]:
-                    best = os.path.join(self.save_path, f"model_best-{tag}")
-                    if os.path.exists(best):
-                        prev = os.path.join(self.save_path, f"model_best-{tag}-{name}")
-                        if os.path.exists(prev):
-                            shutil.rmtree(prev)
-                        shutil.move(best, prev)
-                    shutil.copytree(path, best)
-            if save_all:
-                epoch_path = os.path.join(
-                    self.save_path, f"checkpoint_epoch_{meta.get('epoch')}"
-                )
-                if os.path.exists(epoch_path):
-                    shutil.rmtree(epoch_path)
-                shutil.copytree(path, epoch_path)
+            self._post_write(path, name, meta, is_best, tags, save_all)
 
         self.wait()
         if self.async_write:
@@ -225,6 +453,58 @@ class CheckpointManager:
             self._pending.start()
         else:
             job()
+        return path
+
+    def save_sharded(
+        self,
+        variables,
+        opt_state,
+        meta: Dict[str, Any],
+        rank: int,
+        is_best: bool = False,
+        tags: Optional[List[str]] = None,
+        save_all: bool = False,
+        barrier=None,
+    ) -> str:
+        """Collective per-shard save — every process calls this in lockstep
+        on a SHARED checkpoint directory.  Each process writes only the
+        shards whose replica 0 it owns (:func:`local_checkpoint_chunks`):
+        nothing is replicated across the mesh, no process holds a full
+        sharded table.  Rank 0 writes ``meta.json`` last (the completion
+        marker) and performs rotation/best-copies.  Synchronous by design:
+        the barriers are jax collectives and must run on the main thread.
+
+        ``barrier``: injection point for tests; defaults to
+        ``jax.experimental.multihost_utils.sync_global_devices``.
+        """
+        if barrier is None:
+            from jax.experimental import multihost_utils
+
+            barrier = multihost_utils.sync_global_devices
+        self._save_seq = getattr(self, "_save_seq", 0) + 1
+        name = self.next_name()
+        path = os.path.join(self.save_path, name)
+        tmp = path + ".tmp"
+        self.wait()
+        chunks, index = local_checkpoint_chunks(
+            gather_local_shard_tree(variables, opt_state)
+        )
+        if rank == 0:
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            os.makedirs(tmp, exist_ok=True)
+        barrier(f"oket-ckpt-dir-{self._save_seq}")
+        write_shard_slab(tmp, rank, chunks, index)
+        barrier(f"oket-ckpt-slabs-{self._save_seq}")
+        if rank == 0:
+            with open(os.path.join(tmp, "meta.json"), "w") as f:
+                json.dump(meta, f, default=str)
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            os.replace(tmp, path)
+            logger.info("saved sharded checkpoint %s", path)
+            self._post_write(path, name, meta, is_best, tags, save_all)
+        barrier(f"oket-ckpt-done-{self._save_seq}")
         return path
 
 

@@ -79,5 +79,43 @@ if nproc > 1:
     assert trainer._local_eval_mesh is not None
     assert dict(trainer._local_eval_mesh.shape) == {"data": 1, "model": 2}
     assert trainer.val_builder.host_shard == (pid, nproc)
+# per-shard checkpoint round-trip (multi-process only): the end-of-run save
+# wrote one slab per rank to the shared dir (no replicate-to-all gather);
+# reload must restore every local shard bit-equal
+if nproc > 1:
+    import glob as _glob
+
+    import numpy as _np
+
+    # newest rotating checkpoint = the end-of-run save (rotation means the
+    # lowest-numbered name may hold an older mid-run save)
+    ck = max(
+        _glob.glob(os.path.join(exp_dir, "checkpoint*")), key=os.path.getmtime
+    )
+    for r in range(nproc):
+        assert os.path.exists(os.path.join(ck, f"arrays.p{r}.npz")), (ck, r)
+    assert os.path.exists(os.path.join(ck, "meta.json"))
+    assert not os.path.exists(os.path.join(ck, "arrays.npz"))
+
+    def shard_snap(params):
+        out = {}
+        for k, v in params.items():
+            norm = lambda idx: tuple(
+                sl.indices(dim)[:2] for sl, dim in zip(idx, v.shape)
+            )
+            out[k] = sorted(
+                ((norm(s.index), _np.asarray(s.data)) for s in v.addressable_shards),
+                key=lambda t: t[0],
+            )
+        return out
+
+    before = shard_snap(trainer.variables["params"])
+    trainer.load(ck)
+    after = shard_snap(trainer.variables["params"])
+    for k in before:
+        for (i1, d1), (i2, d2) in zip(before[k], after[k]):
+            assert i1 == i2 and _np.array_equal(d1, d2), (k, i1)
+    print("CKPT_ROUNDTRIP_OK")
+
 print(f"WORKER_OK pid={pid} steps={trainer.training_steps} "
       f"eval_batches_per_pass={len(trainer.val_builder)}")

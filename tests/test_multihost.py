@@ -64,15 +64,25 @@ def _join_workers(procs):
         out = open(log.name).read()
         assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
         assert "WORKER_OK" in out
+        # multi-process workers additionally round-trip the per-shard
+        # checkpoint (each rank reloads its own shards bit-equal)
+        if len(procs) > 1:
+            assert "CKPT_ROUNDTRIP_OK" in out
 
 
 def _final_params(exp_dir):
-    # run() leaves a final rotating checkpoint; pick the newest
+    # run() leaves a final rotating checkpoint; pick the newest.  The
+    # 1-process run writes the single-file format, the 2-process run the
+    # per-shard slab format — the reader handles both.
+    from open_knowledge_graph_embeddings_tpu.train.checkpoint import (
+        open_checkpoint_reader,
+    )
+
     ckpts = [d for d in os.listdir(exp_dir) if d.startswith("checkpoint")]
     assert ckpts, os.listdir(exp_dir)
     newest = max(ckpts, key=lambda d: os.path.getmtime(os.path.join(exp_dir, d)))
-    z = np.load(os.path.join(exp_dir, newest, "arrays.npz"))
-    return {k: z[k] for k in z.files if k.startswith("params/")}
+    reader = open_checkpoint_reader(os.path.join(exp_dir, newest))
+    return {k: reader.read_full(k) for k in reader.keys() if k.startswith("params/")}
 
 
 def _result_rows(exp_dir):
