@@ -71,6 +71,22 @@ class KGEModel:
     def init(self, rng: jax.Array) -> Variables:
         return self.embedder.init(rng)
 
+    def set_dp_candidate_sharding(self, mesh) -> None:
+        """Shard the candidate ENCODE over the data axis on pure-DP meshes.
+
+        With ``model_parallel == 1`` nothing else shards the batch-shared
+        candidate set, so every data shard redundantly encodes all N
+        candidates and the per-host step floors instead of strong-scaling
+        (RESULTS.md "Replicated-collate headroom").  When a mesh is set
+        here, ``prefix_queries_and_candidates`` encodes candidates in a
+        separately-constrained region: candidate ids sharded over ``data``
+        (each shard encodes N/D rows), result all-gathered to the
+        replicated [N, d] matrix the per-shard score blocks need (~N*d*2
+        bytes over ICI — cheap next to the encode FLOPs saved).  ``None``
+        disables (single device / model-parallel meshes, where the
+        candidate axis shards over ``model`` instead)."""
+        self._dp_cand_mesh = mesh
+
     # ------------------------------------------------------------------ fwd
 
     def _relation_for_query(self, r: jax.Array) -> jax.Array:
@@ -165,6 +181,31 @@ class KGEModel:
         r_cand = r_q = None
         if rng is not None:
             r_cand, r_q = jax.random.split(rng)
+        dp_mesh = getattr(self, "_dp_cand_mesh", None)
+        if dp_mesh is not None and cand_emb is None and cand_ids is not None:
+            # pure-DP candidate-encode sharding (see set_dp_candidate_sharding):
+            # skip the single-chip pair fusion so the candidate encode is its
+            # own GSPMD region — ids pinned over `data`, [N, d] result pinned
+            # replicated (XLA inserts the all-gather).  rng streams are
+            # identical to the pair path by construction
+            # (embedders.encode_entity_pair docstring).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            from open_knowledge_graph_embeddings_tpu.parallel.mesh import DATA_AXIS
+
+            wsc = jax.lax.with_sharding_constraint
+            cand_sharded = wsc(
+                cand_ids, NamedSharding(dp_mesh, PartitionSpec(DATA_AXIS))
+            )
+            cand_emb, state, reg_c = self.encode_candidates(
+                variables, cand_sharded, train=train, rng=r_cand
+            )
+            cand_emb = wsc(cand_emb, NamedSharding(dp_mesh, PartitionSpec()))
+            variables = {**variables, "state": state}
+            q, state, reg_q = self.queries(
+                variables, ent_ids, rel_ids, is_sp, train=train, rng=r_q
+            )
+            return q, cand_emb, state, reg + reg_c + reg_q
         if (
             cand_emb is None
             and cand_ids is not None

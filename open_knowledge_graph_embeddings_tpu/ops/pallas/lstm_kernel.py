@@ -513,9 +513,13 @@ def _fused_fwd_last_kernel(ntl_ref, tmax_ref, bias_ref, lens_ref, emb_ref,
         # last non-pad step (reference: openkge/model.py:969-978).  The
         # [B, H] output block is constant over t, so it stays VMEM-resident
         # for the whole tile and flushes once — the [L, B, H] gather the
-        # caller used to do disappears.
-        mask = (lens_ref[0] == t + 1)[:, None]
-        last_ref[:] = jnp.where(mask, h.astype(last_ref.dtype), last_ref[:])
+        # caller used to do disappears.  Arithmetic blend instead of a
+        # boolean where: Mosaic cannot insert a minor dim on an i1 vector
+        # (only 32-bit types), so the mask is built as f32 and reshaped.
+        sel = (lens_ref[0] == t + 1).astype(jnp.float32)[:, None]
+        last_ref[:] = (
+            h * sel + last_ref[:].astype(jnp.float32) * (1.0 - sel)
+        ).astype(last_ref.dtype)
 
 
 def _fused_fwd_last(emb_tm, w_ih_t, w_hh_t, bias_row, lens_row, ntiles, tmax):
@@ -599,9 +603,10 @@ def _fused_bwd_last_kernel(ntl_ref, tmax_ref, bias_ref, lens_ref, emb_ref,
 
         # the output cotangent enters ONLY at each row's last non-pad step
         # — the caller never materializes a [L, B, H] dhs; the [B, H] dlast
-        # block is VMEM-resident for the whole tile
-        inject = (lens_ref[0] == t + 1)[:, None]
-        dh = dh_scr[:] + jnp.where(inject, dlast_ref[:].astype(jnp.float32), 0.0)
+        # block is VMEM-resident for the whole tile.  f32 mask: see the
+        # forward kernel's Mosaic minor-dim note.
+        inject = (lens_ref[0] == t + 1).astype(jnp.float32)[:, None]
+        dh = dh_scr[:] + dlast_ref[:].astype(jnp.float32) * inject
         tc = jnp.tanh(c_t)
         do = dh * tc
         dc = dc_scr[:] + dh * o * (1.0 - tc * tc)

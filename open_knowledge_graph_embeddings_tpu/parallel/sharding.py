@@ -90,8 +90,16 @@ def train_batch_shardings(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
         n = rows(v)
         if k in ("ent_ids", "rel_ids", "is_sp", "row_valid") and n and n[0] % data_n == 0:
             out[k] = _ns(mesh, DATA_AXIS)
-        elif k in ("candidate_ids", "col_valid") and n and n[0] % model_n == 0:
-            out[k] = _ns(mesh, MODEL_AXIS)
+        elif k in ("candidate_ids", "col_valid") and n:
+            # candidate axis rides the model axis; on pure-DP meshes the
+            # candidate ENCODE shards over data instead (the trainer pins it
+            # with set_dp_candidate_sharding) so place the ids there
+            if model_n > 1 and n[0] % model_n == 0:
+                out[k] = _ns(mesh, MODEL_AXIS)
+            elif model_n == 1 and n[0] % data_n == 0:
+                out[k] = _ns(mesh, DATA_AXIS)
+            else:
+                out[k] = _ns(mesh)
         else:  # pos_rows/pos_cols (cross-shard scatter), scalars, eval fields,
             # sparse-plan arrays, and anything not evenly divisible
             out[k] = _ns(mesh)

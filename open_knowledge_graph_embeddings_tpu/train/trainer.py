@@ -165,6 +165,24 @@ class Trainer:
                     self.opt_state, variables_shardings(self.variables, self.mesh), self.mesh
                 ),
             )
+            # pure-DP meshes: shard the candidate encode over the data axis
+            # (model_parallel == 1 leaves nothing else sharding it — the
+            # strong-scaling floor documented in RESULTS.md)
+            from open_knowledge_graph_embeddings_tpu.parallel.mesh import (
+                DATA_AXIS,
+                MODEL_AXIS,
+            )
+
+            if (
+                self.mesh.shape[MODEL_AXIS] == 1
+                and self.mesh.shape[DATA_AXIS] > 1
+                and train_dataset.use_batch_shared_entities
+            ):
+                model.set_dp_candidate_sharding(self.mesh)
+                logger.info(
+                    "pure-DP mesh: candidate encode sharded over %d data shards",
+                    self.mesh.shape[DATA_AXIS],
+                )
         self._rebuild_steps()
 
         self.train_builder = BatchBuilder(train_dataset, seed=seed)

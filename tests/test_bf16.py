@@ -1,0 +1,107 @@
+"""bf16 production-path certification (CPU leg).
+
+The flagship config trains with ``dtype: bfloat16`` — bf16 compute for
+gathers/matmuls with f32 master weights, f32 gate/BN math, and f32
+optimizer state (models/embedders.py).  The headline throughput is only
+meaningful if that mixed-precision regime reaches the same quality as
+f32, so this test trains the flagship model family (LSTM-ComplEx,
+batch-shared candidates, sparse tables, Adagrad) seed-matched in both
+dtypes on a synthetic OLPBench-shaped dataset through the real CLI
+surface and asserts:
+
+* both runs learn (final training loss far below start),
+* the per-epoch loss trajectories stay within a bounded relative gap,
+* the final filtered valid MRR / H@10 agree within a small tolerance.
+
+The on-chip leg (same comparison at the true 2.47M shape) is recorded in
+RESULTS.md; this test is the in-suite regression gate.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+@pytest.fixture(scope="module")
+def synth_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("synth_bf16"))
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "make_synth_olpbench.py"), out,
+         "--mentions", "600", "--relations", "40", "--triples", "3000",
+         "--eval-size", "120", "--ent-tokens", "300", "--rel-tokens", "60",
+         "--max-len", "6", "--seed", "3"],
+        check=True, env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    return out
+
+
+def _run(synth_dir, tmp_path, dtype):
+    from open_knowledge_graph_embeddings_tpu.cli.train import main
+    from open_knowledge_graph_embeddings_tpu.config.options import load_config
+
+    args = load_config()
+    args.update(
+        dataset_dir=synth_dir,
+        experiment_dir=str(tmp_path / f"exp-{dtype}"),
+        seed=11,
+        epochs=6,
+        batch_size=64,
+        eval_epoch_freq=-1,
+        eval_freq=-1,
+        save_epoch_freq=-1,
+        print_freq=50,
+        use_mesh=False,
+        model="LSTMComplexRelationModel",
+        model_config={
+            "entity_slot_size": 32, "init_std": 0.1, "dropout": 0.1,
+            "normalize": "batchnorm", "sparse": True, "dtype": dtype,
+        },
+        optimization_config={
+            "optimizer": "Adagrad", "epoch": 0, "lr": 0.2, "weight_decay": 1e-10,
+        },
+        train_data_config={
+            "input_file": "train.txt", "batch_size": 64,
+            "use_batch_shared_entities": True, "min_size_batch_labels": 128,
+            "max_size_prefix_label": 32,
+        },
+        val_data_config={"input_file": "valid.txt", "batch_size": 8,
+                         "use_batch_shared_entities": False},
+        test_data_config={"input_file": "test.txt", "batch_size": 8,
+                          "use_batch_shared_entities": False},
+    )
+    trainer = main(args)
+    losses = [float(r["training_loss"]) for r in trainer.results.rows
+              if r.get("training_loss") is not None]
+    res = trainer.evaluate()
+    return losses, {m: res[m].avg for m in ("mrr", "h10", "loss")}
+
+
+@pytest.mark.slow
+def test_bf16_training_matches_f32_quality(synth_dir, tmp_path):
+    losses32, m32 = _run(synth_dir, tmp_path, "float32")
+    losses16, m16 = _run(synth_dir, tmp_path, "bfloat16")
+
+    # both regimes learn.  Rows are per-epoch averages: the collapse from
+    # the ~0.69 BCE start happens inside epoch 1 (first row ~0.16), so the
+    # remaining visible drop is ~2x
+    assert losses32[-1] < 0.6 * losses32[0], losses32
+    assert losses16[-1] < 0.6 * losses16[0], losses16
+
+    # seed-matched trajectories track within a bounded relative gap.  bf16
+    # rounding injects ~3e-3 relative noise per step which compounds
+    # chaotically, so this is a coarse envelope — a broken bf16 path
+    # (e.g. f32 state truncated, loss scaling wrong) lands orders of
+    # magnitude outside it
+    losses32_a, losses16_a = np.asarray(losses32), np.asarray(losses16)
+    rel = np.abs(losses16_a - losses32_a) / np.maximum(np.abs(losses32_a), 1e-3)
+    assert float(rel.max()) < 0.5, (losses32, losses16)
+
+    # final filtered metrics agree
+    assert abs(m16["mrr"] - m32["mrr"]) < 0.05, (m32, m16)
+    assert abs(m16["h10"] - m32["h10"]) < 0.05, (m32, m16)

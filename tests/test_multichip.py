@@ -87,6 +87,101 @@ def test_sharded_matches_single_device(toy_dataset_dir):
     )
 
 
+def test_dp_candidate_encode_sharding():
+    """Pure-DP meshes (model=1): the candidate encode shards over the data
+    axis (model.set_dp_candidate_sharding) — step outputs stay equal to the
+    single-device step, and per-device compiled FLOPs genuinely SHRINK
+    versus the replicated candidate encode (the strong-scaling floor from
+    RESULTS.md "Replicated-collate headroom")."""
+    from open_knowledge_graph_embeddings_tpu.data.batching import Batch
+    from open_knowledge_graph_embeddings_tpu.models import build_model
+    from open_knowledge_graph_embeddings_tpu.parallel import (
+        make_mesh,
+        opt_state_shardings,
+        train_batch_shardings,
+        variables_shardings,
+    )
+    from open_knowledge_graph_embeddings_tpu.train import (
+        OptimizerRegimes,
+        make_train_step,
+        train_batch_to_arrays,
+    )
+    from __graft_entry__ import _synthetic_meta
+
+    rng_np = np.random.default_rng(0)
+    meta = _synthetic_meta(entities=512, relations=32, ent_tokens=128, rel_tokens=32, max_len=6)
+    B, N = 24, 256  # B chosen so candidate/entity encode shapes are distinct
+    ent = rng_np.integers(2, meta.entities_size, B).astype(np.int32)
+    rel = rng_np.integers(2, meta.relations_size, B).astype(np.int32)
+    cand = rng_np.choice(np.arange(2, meta.entities_size, dtype=np.int32), N, replace=False)
+    P = 32
+    pos_rows = np.arange(P, dtype=np.int32) % B
+    pos_cols = rng_np.integers(0, N, P).astype(np.int32)
+    batch = train_batch_to_arrays(Batch(
+        ent_ids=ent, rel_ids=rel, is_sp=(np.arange(B) % 2 == 0),
+        row_valid=np.ones(B, bool), num_rows=B,
+        candidate_ids=cand, col_valid=np.ones(N, bool), num_cols=N,
+        cand_offset=meta.min_entities_size,
+        pos_rows=pos_rows, pos_cols=pos_cols, normalizer_loss=float(B * N),
+    ))
+
+    model = build_model("LSTMComplexRelationModel", meta, entity_slot_size=32, init_std=0.1)
+    variables = model.init(jax.random.key(0))
+    regimes = OptimizerRegimes({"optimizer": "Adagrad", "lr": 0.1})
+    regimes.update(1, 0)
+    opt_state = regimes.init_state(variables["params"])
+    hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
+    rng = jax.random.key(7)
+    host_vars = jax.tree_util.tree_map(np.asarray, variables)
+    host_opt = jax.tree_util.tree_map(np.asarray, opt_state)
+
+    fresh = lambda t: jax.tree_util.tree_map(jnp.asarray, t)
+    step0 = make_train_step(model, regimes, variables["params"])
+    v1, _, s1 = step0(fresh(host_vars), fresh(host_opt), hp, batch, rng)
+    loss_single = float(s1["loss_sum"])
+
+    mesh = make_mesh(data=8, model=1)
+
+    def run(dp_sharded):
+        model.set_dp_candidate_sharding(mesh if dp_sharded else None)
+        try:
+            var_sh = variables_shardings(variables, mesh)
+            vs = jax.device_put(fresh(host_vars), var_sh)
+            os_ = jax.device_put(fresh(host_opt), opt_state_shardings(opt_state, var_sh, mesh))
+            bsh = train_batch_shardings(batch, mesh)
+            if not dp_sharded:
+                # replicated-candidate baseline: pin the ids replicated so
+                # GSPMD cannot opportunistically shard the encode
+                from jax.sharding import NamedSharding, PartitionSpec
+                bsh = dict(bsh)
+                bsh["candidate_ids"] = NamedSharding(mesh, PartitionSpec())
+                bsh["col_valid"] = NamedSharding(mesh, PartitionSpec())
+            bs = jax.device_put(batch, bsh)
+            step = make_train_step(model, regimes, variables["params"])
+            compiled = step.lower(vs, os_, hp, bs, rng).compile()
+            v, _, s = step(vs, os_, hp, bs, rng)
+            return (
+                float(s["loss_sum"]),
+                np.asarray(v["params"]["entity_token_embedding"]),
+                compiled.as_text(),
+            )
+        finally:
+            model.set_dp_candidate_sharding(None)
+
+    loss_dp, tbl_dp, hlo_dp = run(dp_sharded=True)
+
+    assert loss_dp == pytest.approx(loss_single, rel=1e-4)
+    np.testing.assert_allclose(
+        tbl_dp, np.asarray(v1["params"]["entity_token_embedding"]), rtol=1e-4, atol=1e-5
+    )
+    # per-device work, read off the partitioned HLO: the candidate LSTM
+    # input projection [L=6, N, 4H=128] must appear at its per-shard row
+    # count N/8 = 32, and the FULL 256-row projection must not exist
+    # anywhere — i.e. no device encodes the whole candidate set
+    assert "f32[6,32,128]" in hlo_dp, "sharded candidate x_proj missing"
+    assert "f32[6,256,128]" not in hlo_dp, "full candidate x_proj still materialized"
+
+
 def test_sharded_checkpoint_roundtrip(toy_dataset_dir, tmp_path):
     """Per-shard checkpoint format: chunks written per replica-0 shard over
     a 4x2 mesh reassemble bit-equal through make_array_from_callback, on the
