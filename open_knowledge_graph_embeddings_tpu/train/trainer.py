@@ -209,8 +209,24 @@ class Trainer:
                 logger.warning(
                     "model-axis groups span hosts; evaluation runs replicated"
                 )
+        # full-vocab eval: score eval_block_rows prefixes per device batch
+        # to amortize the candidate-cache HBM sweep (per-prefix metrics are
+        # batch-size-invariant; batch-shared eval keeps the protocol batch
+        # because its candidate set depends on batch composition)
+        eval_bs = None
+        eval_block = int(args.get("eval_block_rows") or 0)
+        if (
+            validation_dataset is not None
+            and eval_block > validation_dataset.batch_size
+            and not validation_dataset.use_batch_shared_entities
+        ):
+            eval_bs = eval_block
+            logger.info(
+                "full-vocab eval device batch: %d rows (protocol batch %d)",
+                eval_block, validation_dataset.batch_size,
+            )
         self.val_builder = (
-            BatchBuilder(validation_dataset, host_shard=val_shard)
+            BatchBuilder(validation_dataset, batch_size=eval_bs, host_shard=val_shard)
             if validation_dataset is not None
             else None
         )

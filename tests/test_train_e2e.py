@@ -65,6 +65,19 @@ def test_full_vocab_training_and_eval(toy_dataset_dir):
     assert cnt == 4  # 2 valid triples x 2 directions, 1 gold each
     assert mrr_sum / cnt > 0.3
 
+    # eval_block_rows contract: full-vocab metric SUMS are invariant to the
+    # device batch size (per-prefix metrics never see batch composition), so
+    # larger eval blocks amortize the candidate-cache sweep with the exact
+    # same protocol results
+    sums_by_bs = {}
+    for bs in (1, 4):
+        sums = np.zeros(3)
+        for b in BatchBuilder(vds, batch_size=bs).batches():
+            st = unpack_eval_stats(eval_step(variables, eval_batch_to_arrays(b)))
+            sums += [st["mrr"], st["h10"], st["count"]]
+        sums_by_bs[bs] = sums
+    np.testing.assert_allclose(sums_by_bs[1], sums_by_bs[4], rtol=1e-6)
+
 
 def test_batch_shared_training(toy_dataset_dir):
     tds = OneToNMentionRelationDataset(
