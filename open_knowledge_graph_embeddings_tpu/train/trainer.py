@@ -207,7 +207,13 @@ class Trainer:
                 )
             else:
                 logger.warning(
-                    "model-axis groups span hosts; evaluation runs replicated"
+                    "model-axis groups span hosts: every host evaluates the FULL "
+                    "eval set (0%% eval scaling — an eval pass costs "
+                    "num_hosts x the host-sharded layout).  Use a mesh whose "
+                    "model axis fits within one host (default_mesh does this: "
+                    "model_parallel <= local device count, e.g. "
+                    "model_parallel=%d here) to restore host-sharded eval.",
+                    max(1, jax.local_device_count()),
                 )
         # full-vocab eval: score eval_block_rows prefixes per device batch
         # to amortize the candidate-cache HBM sweep (per-prefix metrics are
