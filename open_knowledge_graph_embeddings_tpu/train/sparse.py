@@ -97,7 +97,10 @@ def build_token_grad_plan(
     order = host_length_sort_perm(toks)
     ids_flat = toks[order].T.reshape(-1)  # time-major [L*R]
     keep = np.flatnonzero(ids_flat != 0)
-    o = np.argsort(ids_flat[keep], kind="stable")
+    # grouping only needs SOME deterministic order within each id run (slot
+    # sums are order-independent), so introsort beats kind="stable"
+    # (numpy's stable int32 sort is timsort — measured 3x slower here)
+    o = np.argsort(ids_flat[keep])
     ids_s = ids_flat[keep][o]
     pos_s = keep[o].astype(np.int32)
     n = len(ids_s)

@@ -195,12 +195,45 @@ def make_eval_step(
 
     ``topk > 0`` additionally returns the filtered per-prefix top-k
     (scores, columns) for prediction logging."""
-    from open_knowledge_graph_embeddings_tpu.train.evaluate import filtered_topk
+    from open_knowledge_graph_embeddings_tpu.train.evaluate import (
+        eval_stats_chunked,
+        filtered_topk,
+    )
 
     @jax.jit
     def eval_step(variables, batch, cand_emb=None):
         cand_ids = batch.get("candidate_ids")
         col_valid = batch.get("col_valid")
+        if (
+            cand_emb is not None
+            and cand_ids is None
+            and loss_type == "bce"
+            and topk == 0
+            and cand_emb.shape[0] > 100_000
+        ):
+            # full-vocab eval against the precomputed cache: chunked-scan
+            # formulation — no [B, N] score matrix, no [G, N] row gather
+            # (train/evaluate.py eval_stats_chunked)
+            q, _, _ = model.queries(
+                variables, batch["ent_ids"], batch["rel_ids"], batch["is_sp"],
+                train=False,
+            )
+            loss_sum, ranks, gold_valid = eval_stats_chunked(
+                q, cand_emb,
+                batch["pos_rows"], batch["pos_cols"],
+                batch["row_valid"], col_valid, batch["n_real_cols"],
+                batch["filter_rows"], batch["filter_cols"],
+                batch["gold_rows"], batch["gold_mention_cols"],
+                label_smoothing,
+            )
+            stats = metric_sums_from_ranks(ranks, gold_valid)
+            stats["loss_sum"] = loss_sum
+            stats["normalizer_metric"] = jnp.sum(
+                (batch["pos_rows"] >= 0).astype(jnp.float32)
+            )
+            return jnp.stack(
+                [stats[k].astype(jnp.float32) for k in EVAL_STAT_KEYS]
+            )
         scores, _, _ = model.prefix_scores(
             variables,
             batch["ent_ids"],

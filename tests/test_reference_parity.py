@@ -381,6 +381,89 @@ class TestMetricsParity:
         np.testing.assert_array_equal(np.asarray(valid), grp >= 0)
         np.testing.assert_array_equal(np.asarray(ranks)[: len(want)], want)
 
+    def test_chunked_eval_matches_dense(self, rng):
+        """eval_stats_chunked (the full-vocab chunked-scan formulation) ==
+        dense ranks_from_scores + indexed BCE, including tie cells from
+        DUPLICATE candidate embeddings, across chunk sizes that do and do
+        not divide N."""
+        from open_knowledge_graph_embeddings_tpu.train.evaluate import (
+            eval_stats_chunked,
+            ranks_from_scores,
+        )
+        from open_knowledge_graph_embeddings_tpu.train.loss import (
+            bce_with_logits_sum_indexed,
+            cell_mask,
+        )
+
+        B, N, N_real, d = 5, 100, 90, 16
+        q = rng.standard_normal((B, d)).astype(np.float32)
+        cand = rng.standard_normal((N, d)).astype(np.float32)
+        # duplicate mention embeddings -> exact tie cells
+        cand[7] = cand[3]
+        cand[11] = cand[3]
+        col_valid = np.zeros(N, bool)
+        col_valid[:N_real] = True
+        scores = q @ cand.T
+
+        filter_mask = (rng.random((B, N)) < 0.2) & col_valid[None, :]
+        g_rows, g_ments = [], []
+        for b in range(B):
+            for _ in range(int(rng.integers(1, 3))):
+                cols = rng.choice(N_real, int(rng.integers(1, 3)), replace=False)
+                filter_mask[b, cols] = True
+                g_rows.append(b)
+                g_ments.append(cols)
+        # a gold whose mention set includes a duplicate-embedding column
+        g_rows.append(2)
+        g_ments.append(np.array([3]))
+        filter_mask[2, 3] = True
+
+        fr, fc = np.nonzero(filter_mask)
+        F = len(fr) + 5
+        frp = np.full(F, -1, np.int32); frp[: len(fr)] = fr
+        fcp = np.full(F, -1, np.int32); fcp[: len(fc)] = fc
+        G, A = len(g_rows) + 2, max(len(m) for m in g_ments)
+        grp = np.full(G, -1, np.int32)
+        gmp = np.full((G, A), -1, np.int32)
+        for i, (r, m) in enumerate(zip(g_rows, g_ments)):
+            grp[i] = r
+            gmp[i, : len(m)] = m
+        P = 8
+        pos_r = rng.integers(0, B, P).astype(np.int32)
+        pos_c = rng.integers(0, N_real, P).astype(np.int32)
+        # dedup positive pairs (the builder contract)
+        pairs = sorted(set(zip(pos_r.tolist(), pos_c.tolist())))
+        pos_rp = np.full(P, -1, np.int32); pos_cp = np.full(P, -1, np.int32)
+        for i, (r, c) in enumerate(pairs):
+            pos_rp[i], pos_cp[i] = r, c
+        row_valid = np.ones(B, bool)
+
+        ranks_d, valid_d = ranks_from_scores(
+            jnp.asarray(scores), jnp.asarray(frp), jnp.asarray(fcp),
+            jnp.asarray(grp), jnp.asarray(gmp), jnp.asarray(col_valid),
+        )
+        mask = cell_mask(jnp.asarray(row_valid), jnp.asarray(col_valid), N)
+        loss_d = bce_with_logits_sum_indexed(
+            jnp.asarray(scores), jnp.asarray(pos_rp), jnp.asarray(pos_cp),
+            mask, jnp.float32(N_real), 0.0,
+        )
+
+        for chunk in (16, 32, 100, 33):  # divides / exceeds-row / equals / ragged
+            loss_c, ranks_c, valid_c = eval_stats_chunked(
+                jnp.asarray(q), jnp.asarray(cand),
+                jnp.asarray(pos_rp), jnp.asarray(pos_cp),
+                jnp.asarray(row_valid), jnp.asarray(col_valid), jnp.float32(N_real),
+                jnp.asarray(frp), jnp.asarray(fcp),
+                jnp.asarray(grp), jnp.asarray(gmp),
+                0.0, chunk=chunk,
+            )
+            np.testing.assert_array_equal(np.asarray(valid_c), np.asarray(valid_d))
+            v = np.asarray(valid_d)
+            np.testing.assert_array_equal(
+                np.asarray(ranks_c)[v], np.asarray(ranks_d)[v], err_msg=f"chunk={chunk}"
+            )
+            assert float(loss_c) == pytest.approx(float(loss_d), rel=1e-5), chunk
+
 
 class TestLSTMTucker3Parity:
     def test_scores(self, rng):

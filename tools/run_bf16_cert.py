@@ -1,0 +1,98 @@
+"""bf16 production-path certification, on-chip leg (VERDICT round-4 #1b).
+
+Runs the 2.47M-mention demo config twice — dtype float32 and bfloat16 —
+seed-matched, then evaluates BOTH protocols (32768-candidate batch-shared
+validation; full-vocab test) from each run's final checkpoint and prints
+a JSON comparison line.  Results land in RESULTS.md with a tolerance
+verdict; the CPU leg (tests/test_bf16.py) is the in-suite gate.
+
+Usage::
+
+    python tools/run_bf16_cert.py OUTDIR [--epochs N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CFG = os.path.join(REPO, "configs", "olpbench", "synth-olpbench-2m47-demo.yaml")
+
+
+def run_one(dtype: str, outdir: str, epochs: int):
+    from open_knowledge_graph_embeddings_tpu.cli.train import main as cli_main
+    from open_knowledge_graph_embeddings_tpu.config.options import load_config
+
+    exp = os.path.join(outdir, f"cert-{dtype}")
+    args = load_config(CFG, [])
+    args["dataset_dir"] = os.path.join(REPO, args["dataset_dir"])
+    args.update(
+        experiment_dir=exp,
+        epochs=epochs,
+        model_config={**args["model_config"], "dtype": dtype},
+        save_epoch_freq=-1,
+    )
+    t0 = time.time()
+    trainer = cli_main(args)
+    train_s = time.time() - t0
+
+    # batch-shared validation protocol (the trainer's validation dataset)
+    valid = trainer.evaluate()
+    out = {
+        "dtype": dtype,
+        "train_wall_s": round(train_s, 1),
+        "train_loss_per_epoch": [
+            float(r["training_loss"]) for r in trainer.results.rows
+            if r.get("training_loss") is not None
+        ],
+        "valid_mrr": valid["mrr"].avg,
+        "valid_h10": valid["h10"].avg,
+    }
+
+    # full-vocab test protocol via evaluate-only resume from the final ckpt
+    # (metrics read from the sweep csv the CLI appends — avoids a second
+    # full-vocab pass)
+    ck = trainer.save()
+    scores_csv = os.path.join(outdir, "cert_scores.csv")
+    args2 = load_config(CFG, [])
+    args2["dataset_dir"] = os.path.join(REPO, args2["dataset_dir"])
+    args2.update(
+        experiment_dir=exp + "-test",
+        model_config={**args2["model_config"], "dtype": dtype},
+        evaluate=True, evaluate_on_validation=False, resume=ck,
+        evaluate_scores_file=scores_csv,
+    )
+    cli_main(args2)
+    import csv
+
+    with open(scores_csv) as f:
+        row = list(csv.DictReader(f))[-1]
+    out["test_mrr"] = float(row["mrr"])
+    out["test_h10"] = float(row["h10"])
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("outdir")
+    ap.add_argument("--epochs", type=int, default=2)
+    ns = ap.parse_args(argv)
+    os.makedirs(ns.outdir, exist_ok=True)
+    results = [run_one(d, ns.outdir, ns.epochs) for d in ("float32", "bfloat16")]
+    f32, bf16 = results
+    verdict = {
+        "valid_mrr_gap": abs(f32["valid_mrr"] - bf16["valid_mrr"]),
+        "test_mrr_gap": abs(f32["test_mrr"] - bf16["test_mrr"]),
+        "test_h10_gap": abs(f32["test_h10"] - bf16["test_h10"]),
+    }
+    print(json.dumps({"f32": f32, "bf16": bf16, "gaps": verdict}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
