@@ -58,6 +58,10 @@ args.update(
     print_freq=1,
     use_mesh=True,
     model_parallel=2,
+    # keep the protocol eval batch (1) so host-sharded eval distributes
+    # multiple batches per rank — the property this test pins; the
+    # eval_block_rows default would fold them into one device batch
+    eval_block_rows=0,
     model="LookupComplexRelationModel",
     model_config={"entity_slot_size": 8, "init_std": 0.1},
     optimization_config={"optimizer": "Adagrad", "epoch": 0, "lr": 0.3,
