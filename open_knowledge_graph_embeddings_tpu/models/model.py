@@ -58,6 +58,18 @@ class KGEModel:
         assert self.scorer in QUERY_FNS, f"unknown scorer {self.scorer}"
         if self.scorer == "complex":
             assert self.embedder.entity_dim % 2 == 0, "ComplEx needs an even embedding size"
+        if self.scorer in ("complex", "distmult"):
+            # fail at construction, not mid-trace: the reference ships a
+            # unigram config pairing entity 64 with relation 512 and no
+            # projection (config/fb15k237/fb15k237-complex-unigrampool.yaml)
+            # which cannot score — its own encode path also raises
+            # (openkge/model.py:789,792 latent AttributeError), so the
+            # pairing was never runnable upstream either
+            assert self.embedder.relation_dim == self.embedder.entity_dim, (
+                f"{self.scorer} scoring is elementwise over the embedding dim: "
+                f"relation_slot_size ({self.embedder.relation_dim}) must equal "
+                f"entity_slot_size ({self.embedder.entity_dim})"
+            )
         if self.scorer == "rescal":
             assert self.embedder.relation_dim == self.embedder.entity_dim ** 2, (
                 "RESCAL/Tucker3 needs relation_dim == entity_dim^2 "
