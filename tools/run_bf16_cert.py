@@ -59,6 +59,12 @@ def run_one(dtype: str, outdir: str, epochs: int):
     # (metrics read from the sweep csv the CLI appends — avoids a second
     # full-vocab pass)
     ck = trainer.save()
+    # free the training trainer's device buffers before the evaluate-only
+    # trainer builds its own copy + the [2.47M, d] candidate cache
+    del trainer
+    import gc
+
+    gc.collect()
     scores_csv = os.path.join(outdir, "cert_scores.csv")
     args2 = load_config(CFG, [])
     args2["dataset_dir"] = os.path.join(REPO, args2["dataset_dir"])
@@ -82,9 +88,29 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("outdir")
     ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--one", help="(internal) run a single dtype in-process")
     ns = ap.parse_args(argv)
     os.makedirs(ns.outdir, exist_ok=True)
-    results = [run_one(d, ns.outdir, ns.epochs) for d in ("float32", "bfloat16")]
+    if ns.one:
+        result = run_one(ns.one, ns.outdir, ns.epochs)
+        with open(os.path.join(ns.outdir, f"result-{ns.one}.json"), "w") as f:
+            json.dump(result, f)
+        print(json.dumps(result), flush=True)
+        return
+    # one subprocess per dtype: the 2.47M-scale runs must not share a
+    # process (device buffers from the first run linger and the second
+    # OOMs the 16 GB chip)
+    import subprocess
+
+    results = []
+    for d in ("float32", "bfloat16"):
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__), ns.outdir,
+             "--epochs", str(ns.epochs), "--one", d],
+            check=True, cwd=REPO,
+        )
+        with open(os.path.join(ns.outdir, f"result-{d}.json")) as f:
+            results.append(json.load(f))
     f32, bf16 = results
     verdict = {
         "valid_mrr_gap": abs(f32["valid_mrr"] - bf16["valid_mrr"]),
