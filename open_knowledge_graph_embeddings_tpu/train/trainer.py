@@ -500,14 +500,22 @@ class Trainer:
     # ------------------------------------------------------------------- eval
 
     def _candidate_cache(self, variables, mesh):
-        """Precompute the [N, d] candidate matrix for token embedders at
-        full-vocab eval (reference: openkge/model.py:670-712)."""
+        """Precompute the [N, d] candidate matrix for full-vocab eval.
+
+        Token embedders always need it (reference: openkge/model.py:670-712).
+        Lookup embedders get one at large vocabularies too: handing the
+        encoded table slice to the eval step routes it through the
+        chunked-scan formulation (train/evaluate.py eval_stats_chunked)
+        instead of the dense [B, N] path."""
         ds = self.validation_dataset
         if ds is None or ds.use_batch_shared_entities:
             return None
         if isinstance(self.model.embedder, TokenEmbedderBase):
             all_emb = self.model.encode_all_entities(variables, mesh=mesh)
             return all_emb[self.model.meta.min_entities_size :]
+        if self.model.meta.entities_size > 200_000:
+            emb, _, _ = self.model.encode_candidates(variables, None, train=False)
+            return emb
         return None
 
     def _eval_context(self):
