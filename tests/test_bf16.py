@@ -77,7 +77,7 @@ def _run(synth_dir, tmp_path, dtype):
     )
     trainer = main(args)
     losses = [float(r["training_loss"]) for r in trainer.results.rows
-              if r.get("training_loss") is not None]
+              if r.get("training_loss") not in (None, "")]
     res = trainer.evaluate()
     return losses, {m: res[m].avg for m in ("mrr", "h10", "loss")}
 

@@ -49,7 +49,7 @@ def run_one(dtype: str, outdir: str, epochs: int):
         "train_wall_s": round(train_s, 1),
         "train_loss_per_epoch": [
             float(r["training_loss"]) for r in trainer.results.rows
-            if r.get("training_loss") is not None
+            if r.get("training_loss") not in (None, "")
         ],
         "valid_mrr": valid["mrr"].avg,
         "valid_h10": valid["h10"].avg,
