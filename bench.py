@@ -542,6 +542,52 @@ def bench_full_vocab_eval():
     return out
 
 
+def bench_token_grad_paths():
+    """Isolated cost of the demb -> union-row gradient at flagship shapes:
+    XLA scatter-add vs the gather-sum slot plan (the round-4 change)."""
+    import jax
+    import jax.numpy as jnp
+
+    from open_knowledge_graph_embeddings_tpu.models.embedders import token_gather_tm
+    from open_knowledge_graph_embeddings_tpu.train.sparse import build_token_grad_plan
+
+    rng = np.random.default_rng(0)
+    R, L, U = BATCH + CANDS, MAX_LEN, 8192  # entity-side flagship shape
+    lens = 1 + (rng.zipf(1.6, R) - 1) % (L - 1)
+    toks = np.zeros((R, L), np.int32)
+    for r in range(R):
+        toks[r, : lens[r]] = rng.zipf(1.2, lens[r]) % (U - 192) + 1
+    plan_np = build_token_grad_plan(toks, U)
+    plan = {k: jnp.asarray(v) for k, v in plan_np.items()}
+    order = np.argsort(L - (toks > 0).sum(1), kind="stable")
+    toks_tm = jnp.asarray(toks[order].T)
+    table = jnp.asarray(rng.standard_normal((U, D)).astype(np.float32))
+    ct = jnp.asarray(
+        rng.standard_normal((L, R, D)).astype(np.float32).astype(jnp.bfloat16)
+    )
+
+    def grad_with(p):
+        def loss(tbl):
+            emb = token_gather_tm(tbl, toks_tm, jnp.bfloat16, time_major=True, grad_plan=p)
+            return jnp.sum(emb.astype(jnp.float32) * ct.astype(jnp.float32))
+
+        return jax.jit(jax.grad(loss))
+
+    out = {}
+    for name, p in (("scatter", None), ("gather_sum_plan", plan)):
+        f = grad_with(p)
+        g = f(table)
+        float(g.ravel()[0])  # fence
+        t0 = time.perf_counter()
+        for _ in range(20):
+            g = f(table)
+        float(g.ravel()[0])
+        out[f"{name}_ms"] = round((time.perf_counter() - t0) / 20 * 1e3, 3)
+    out["positions"] = int((toks > 0).sum())
+    out["slots"] = int(plan_np["valid"].any(axis=1).sum())
+    return out
+
+
 def _synth_dataset_dir():
     """A cached on-disk synthetic OLPBench (tools/make_synth_olpbench.py) so
     the host-collate bench exercises the REAL dataset + builder constructors
@@ -735,6 +781,7 @@ def main():
             host["keeps_chip_fed"] = bool(1.0 / host["batches_per_sec"] < step_s)
             return {k: (round(v, 3) if isinstance(v, float) else v) for k, v in host.items()}
 
+        section("token_grad_paths", bench_token_grad_paths)
         section("host_collate", _host)
         section("replicated_collate_headroom", bench_replicated_collate_headroom)
 
