@@ -70,7 +70,12 @@ def run_one(dtype: str, outdir: str, epochs: int):
     args2["dataset_dir"] = os.path.join(REPO, args2["dataset_dir"])
     args2.update(
         experiment_dir=exp + "-test",
-        model_config={**args2["model_config"], "dtype": dtype},
+        # both trained parameter sets are evaluated under the IDENTICAL
+        # bf16 eval procedure — the certification isolates the TRAINING
+        # dtype, and the f32 candidate cache (2 x 5 GB with its slice)
+        # does not fit the 16 GB chip next to the model
+        model_config={**args2["model_config"], "dtype": "bfloat16"},
+        resume_load_args=False,
         evaluate=True, evaluate_on_validation=False, resume=ck,
         evaluate_scores_file=scores_csv,
     )
