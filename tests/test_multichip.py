@@ -252,6 +252,73 @@ def test_sharded_checkpoint_roundtrip(toy_dataset_dir, tmp_path):
     )
 
 
+def test_sharded_checkpoint_resume_filter_and_weight_map(toy_dataset_dir, tmp_path):
+    """Partial loads work against the per-shard format: resume_filter keeps
+    unlisted params untouched, weight_map renames checkpoint keys."""
+    from open_knowledge_graph_embeddings_tpu.data import OneToNMentionRelationDataset
+    from open_knowledge_graph_embeddings_tpu.models import build_model
+    from open_knowledge_graph_embeddings_tpu.parallel import (
+        make_mesh,
+        opt_state_shardings,
+        variables_shardings,
+    )
+    from open_knowledge_graph_embeddings_tpu.train import OptimizerRegimes
+    from open_knowledge_graph_embeddings_tpu.train.checkpoint import (
+        CheckpointManager,
+        load_checkpoint,
+    )
+
+    tds = OneToNMentionRelationDataset(
+        dataset_dir=toy_dataset_dir, input_file="train.txt", is_training_data=True,
+        batch_size=4,
+    )
+    model = build_model("LookupComplexRelationModel", tds.meta, entity_slot_size=8)
+    variables = model.init(jax.random.key(2))
+    regimes = OptimizerRegimes({"optimizer": "Adagrad", "lr": 0.1})
+    regimes.update(1, 0)
+    opt_state = regimes.init_state(variables["params"])
+    mesh = make_mesh(data=4, model=2)
+    var_sh = variables_shardings(variables, mesh)
+    vs = jax.device_put(variables, var_sh)
+    os_ = jax.device_put(opt_state, opt_state_shardings(opt_state, var_sh, mesh))
+
+    mgr = CheckpointManager(str(tmp_path / "exp"))
+    path = mgr.save_sharded(vs, os_, {"training_steps": 1}, rank=0, barrier=lambda tag: None)
+
+    # fresh target with different values
+    fresh = model.init(jax.random.key(9))
+    fresh_opt = regimes.init_state(fresh["params"])
+    nv, _, _ = load_checkpoint(
+        path, fresh, fresh_opt, resume_filter=["relation_embedding"],
+        load_optimizer=False,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(nv["params"]["relation_embedding"]),
+        np.asarray(vs["params"]["relation_embedding"]),
+    )
+    np.testing.assert_array_equal(  # filtered out -> fresh values kept
+        np.asarray(nv["params"]["entity_embedding"]),
+        np.asarray(fresh["params"]["entity_embedding"]),
+    )
+
+    # weight_map rename: a checkpoint key mapped to a name the target does
+    # not have is simply not restored (strict=False semantics); unrenamed
+    # keys load normally
+    nv2, _, _ = load_checkpoint(
+        path, fresh, fresh_opt,
+        weight_map={"params/relation_embedding": "params/renamed_away"},
+        load_optimizer=False,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(nv2["params"]["relation_embedding"]),
+        np.asarray(fresh["params"]["relation_embedding"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(nv2["params"]["entity_embedding"]),
+        np.asarray(vs["params"]["entity_embedding"]),
+    )
+
+
 def test_checkpoint_manager_save_sharded_single_rank(toy_dataset_dir, tmp_path):
     """save_sharded end-to-end with rank 0 only (barrier injected):
     rotation dir structure, meta.json marker, and load parity."""
