@@ -110,3 +110,76 @@ def read_triple_file_native(
     if written != T:
         raise RuntimeError(f"native parse wrote {written} triples, counted {T} ({path})")
     return triples, s_off, s_val, o_off, o_val
+
+
+# ---------------------------------------------------------- sparse-plan kernels
+
+_PLAN_BOUND = False
+
+
+def _bind_plan(lib) -> None:
+    global _PLAN_BOUND
+    if _PLAN_BOUND:
+        return
+    lib.oket_unique_remap.restype = ctypes.c_int64
+    lib.oket_unique_remap.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
+    lib.oket_grad_plan.restype = ctypes.c_int64
+    lib.oket_grad_plan.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
+    _PLAN_BOUND = True
+
+
+def unique_remap_native(toks: np.ndarray, vocab: int, scratch: np.ndarray):
+    """Sorted unique ids (0 included) + compact remap of ``toks``.
+
+    ``scratch`` int32 [>= vocab], reusable across calls.  Returns
+    ``(uids, remapped)`` or None when the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bind_plan(lib)
+    flat = np.ascontiguousarray(toks.reshape(-1), dtype=np.int32)
+    uids_buf = np.empty(flat.size + 1, np.int32)
+    remapped = np.empty(flat.size, np.int32)
+    u = lib.oket_unique_remap(flat, flat.size, vocab, scratch, uids_buf, remapped)
+    if u < 0:
+        return None
+    return uids_buf[:u].copy(), remapped.reshape(toks.shape)
+
+
+def grad_plan_native(remapped: np.ndarray, n_unique: int, K: int, oob: int):
+    """Native gather-sum plan over a remapped [R, L] token matrix; mirrors
+    train/sparse.py build_token_grad_plan (pinned by tests).  Returns
+    ``(pos [S,K], valid [S,K] bool, uid [S], n_slots)`` with S the
+    worst-case capacity (caller buckets/trims), or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    _bind_plan(lib)
+    R, L = remapped.shape
+    rm = np.ascontiguousarray(remapped, dtype=np.int32)
+    n = R * L
+    cap = int(n_unique + n // K + 2)
+    scratch = np.empty(max(n_unique + 1, L + 1) + R, np.int64)
+    pos = np.zeros(cap * K, np.int32)  # unused cells must be in-range for jnp.take
+    valid = np.zeros(cap * K, np.uint8)
+    uid = np.empty(cap, np.int32)
+    s = lib.oket_grad_plan(rm, R, L, n_unique, K, oob, cap, scratch, pos, valid, uid)
+    if s < 0:
+        return None
+    return (
+        pos.reshape(cap, K), valid.reshape(cap, K).astype(bool), uid, int(s),
+    )

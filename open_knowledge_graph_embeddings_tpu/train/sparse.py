@@ -79,6 +79,7 @@ def host_length_sort_perm(toks: np.ndarray) -> np.ndarray:
 
 def build_token_grad_plan(
     toks: np.ndarray, layout_height: int, K: int = 8, bucket_min: int = 256,
+    use_native: bool = True,
 ) -> Dict[str, np.ndarray]:
     """Slot plan for the gather-sum token-table backward
     (models/embedders.py token_gather_tm ``grad_plan``).
@@ -94,6 +95,31 @@ def build_token_grad_plan(
     fused path — either way they must not be accumulated).
     """
     R, L = toks.shape
+    if use_native:
+        # GIL-free C kernel (native/oket_native.cpp oket_grad_plan):
+        # counting passes instead of argsorts, ~10x the numpy path and it
+        # lets the prefetch workers actually overlap the device step.
+        # Numpy-vs-native equality is pinned by a unit test.
+        from open_knowledge_graph_embeddings_tpu.native.loader import (
+            grad_plan_native,
+        )
+
+        res = grad_plan_native(toks, layout_height, K, layout_height)
+        if res is not None:
+            pos, valid, uid, s_real = res
+            S = next_bucket(max(s_real, 1), minimum=bucket_min)
+            cap = pos.shape[0]
+            if S <= cap:
+                return {"pos": pos[:S], "valid": valid[:S], "uid": uid[:S]}
+            out = {
+                "pos": np.zeros((S, K), np.int32),
+                "valid": np.zeros((S, K), bool),
+                "uid": np.full(S, layout_height, np.int32),
+            }
+            out["pos"][:cap] = pos
+            out["valid"][:cap] = valid
+            out["uid"][:cap] = uid
+            return out
     order = host_length_sort_perm(toks)
     ids_flat = toks[order].T.reshape(-1)  # time-major [L*R]
     keep = np.flatnonzero(ids_flat != 0)
@@ -196,6 +222,9 @@ class SparsePlanBuilder:
         self.layout = layout
         self.tables = sparse_table_names(embedder, entity_sparse)
         self.is_token = isinstance(embedder, TokenEmbedderBase)
+        import threading
+
+        self._tl = threading.local()  # per-worker-thread native scratch
         # the gather-sum backward plan is consumed by the LSTM embedder's
         # time-major sorted layout; its position indices reference the
         # GLOBAL batch, so it is disabled on data-sharded meshes (the
@@ -254,6 +283,21 @@ class SparsePlanBuilder:
         else:
             self._plan_lookup(d, batch)
         return d
+
+    def _native_unique_remap(self, toks: np.ndarray, vocab: int):
+        """(sorted unique ids incl 0, remapped matrix) via the GIL-free C
+        kernel, or None (non-compact layout / library unavailable) — then
+        the numpy union1d + searchsorted path runs instead."""
+        if self.layout != "compact":
+            return None
+        from open_knowledge_graph_embeddings_tpu.native.loader import (
+            unique_remap_native,
+        )
+
+        buf = getattr(self._tl, "buf", None)
+        if buf is None or buf.size < vocab:
+            self._tl.buf = buf = np.empty(vocab, np.int32)
+        return unique_remap_native(toks, vocab, buf)
 
     def _emit_grad_plan(self, d: Dict[str, Any], kind: str, table: str) -> None:
         """Attach the gather-sum backward plan for one token table (see
@@ -394,7 +438,10 @@ class SparsePlanBuilder:
             # PAD (token 0) must map to layout position 0 even when no pad
             # token appears in the batch: _pad_stop_gradient and the length
             # masks key off remapped id 0
-            ut = np.union1d(np.int32(0), toks)
+            nat = self._native_unique_remap(toks, meta.entity_tokens_size)
+            ut, remapped = nat if nat is not None else (
+                np.union1d(np.int32(0), toks), None
+            )
             remap = self._pack_rows(d, "entity_token_embedding", ut, meta.entity_tokens_size)
             if remap is not None:
                 B = len(batch.ent_ids)
@@ -402,16 +449,23 @@ class SparsePlanBuilder:
                 d["candidate_ids"] = np.arange(
                     B, B + len(batch.candidate_ids), dtype=np.int32
                 )
-                d["sparse/buffers/entity_token_ids"] = remap(toks)
+                d["sparse/buffers/entity_token_ids"] = (
+                    remapped if remapped is not None else remap(toks)
+                )
                 self._emit_grad_plan(d, "entity", "entity_token_embedding")
         rtoks = meta.relation_token_ids[batch.rel_ids]  # [B, L]
+        nat = self._native_unique_remap(rtoks, meta.relation_tokens_size)
+        rut, rremapped = nat if nat is not None else (
+            np.union1d(np.int32(0), rtoks), None
+        )
         remap = self._pack_rows(
-            d, "relation_token_embedding", np.union1d(np.int32(0), rtoks),
-            meta.relation_tokens_size,
+            d, "relation_token_embedding", rut, meta.relation_tokens_size
         )
         if remap is not None:
             d["rel_ids"] = np.arange(len(batch.rel_ids), dtype=np.int32)
-            d["sparse/buffers/relation_token_ids"] = remap(rtoks)
+            d["sparse/buffers/relation_token_ids"] = (
+                rremapped if rremapped is not None else remap(rtoks)
+            )
             self._emit_grad_plan(d, "relation", "relation_token_embedding")
 
 

@@ -145,8 +145,13 @@ class Trainer:
                     min_rows_ratio=float(args.get("sparse_min_ratio", 12.0)),
                     # the gather-sum token-table backward plan references
                     # global batch positions; on data-sharded meshes the
-                    # per-shard scatter composes with GSPMD instead
-                    grad_plan=self.mesh is None,
+                    # per-shard scatter composes with GSPMD instead.  The
+                    # sparse_grad_plan config key can force it off when the
+                    # host-side plan build is the bottleneck.
+                    grad_plan=(
+                        self.mesh is None
+                        and bool(args.get("sparse_grad_plan", True))
+                    ),
                 )
                 logger.info(
                     "row-sparse updates for tables %s (entity_sparse=%s)",
@@ -336,12 +341,21 @@ class Trainer:
         return math.floor(self.training_steps / (self.len_train_batches + 1)) + 1
 
     def _put_batch(self, arrays):
-        """Place a host-built batch onto the mesh's sharding plan (rows over
-        ``data``, candidates over ``model``).  Without this XLA reshards the
-        default placement every step.  In multi-process runs every host built
-        the identical global batch and materializes only its local shards."""
+        """Place a host-built batch onto the device(s) from the PREFETCH
+        threads (this runs inside the batches() transform).
+
+        Single device: one batched ``jax.device_put`` of the whole dict —
+        measured 2.9 ms vs 7.7 ms when the ~23 numpy arrays transfer
+        individually at jit-dispatch time on the main thread (each array is
+        its own synchronous RPC over a remote-TPU link); with the transfer
+        on the workers the main loop's dispatch drops to ~0.1 ms.
+
+        Mesh: place onto the sharding plan (rows over ``data``, candidates
+        over ``model``) — without this XLA reshards the default placement
+        every step.  In multi-process runs every host built the identical
+        global batch and materializes only its local shards."""
         if self.mesh is None:
-            return arrays
+            return jax.device_put(arrays)
         from open_knowledge_graph_embeddings_tpu.parallel import train_batch_shardings
         from open_knowledge_graph_embeddings_tpu.parallel.distributed import put_global_batch
 
@@ -361,7 +375,18 @@ class Trainer:
         return jax.device_put(arrays, train_batch_shardings(arrays, eval_mesh))
 
     def _hp(self):
-        return [{k: jnp.float32(v) for k, v in h.items()} for h in self.regimes.hparams()]
+        # cached on the hparam VALUES: rebuilding per step device-puts ~10
+        # fresh scalars per step, and the remote-TPU path charges a round
+        # trip per transfer; values only change at phase/scheduler
+        # boundaries.  hp is not donated by the steps, so reuse is safe.
+        vals = tuple(tuple(sorted(h.items())) for h in self.regimes.hparams())
+        if getattr(self, "_hp_cache_key", None) != vals:
+            self._hp_cache_key = vals
+            self._hp_cache = [
+                {k: jnp.float32(v) for k, v in h.items()}
+                for h in self.regimes.hparams()
+            ]
+        return self._hp_cache
 
     # ------------------------------------------------------------------ train
 
@@ -398,6 +423,17 @@ class Trainer:
             pending.clear()
 
         workers = int(self.args.get("workers", 8))  # reference: scripts/train.py:95
+        # one key block per epoch, fetched to the host: the per-step
+        # jax.random.split was a separate tiny device execution per step,
+        # and the remote-TPU path charges a fixed per-execution round trip
+        # (measured ~5-10 ms) — per-step keys now ride into the train step
+        # as plain uint32[2] rows with zero extra executions
+        epoch_keys = jax.random.split(self.rng_key, n_batches + 2)
+        self.rng_key = epoch_keys[0]
+        try:
+            host_keys = np.asarray(jax.random.key_data(epoch_keys[1:]))
+        except TypeError:  # legacy raw uint32 keys
+            host_keys = np.asarray(epoch_keys[1:])
         for step_i, (batch, arrays) in enumerate(
             self._iter_train_arrays(workers=workers, prefetch=max(2, workers))
         ):
@@ -415,7 +451,10 @@ class Trainer:
                 self.opt_state = self.regimes.init_state(self.variables["params"])
                 self._rebuild_steps()
 
-            self.rng_key, sub = jax.random.split(self.rng_key)
+            # host-side row of the per-epoch key block (raw uint32[2] keys
+            # are accepted by every jax.random consumer); a partial epoch
+            # consumes a prefix and the next epoch draws a fresh block
+            sub = host_keys[step_i % len(host_keys)]
             if self.accum_steps <= 1:
                 self.variables, self.opt_state, stats = self.train_step(
                     self.variables, self.opt_state, self._hp(), arrays, sub

@@ -169,6 +169,57 @@ def test_token_grad_plan_matches_scatter():
         )
 
 
+def test_native_plan_kernels_match_numpy():
+    """The C plan kernels (native/oket_native.cpp) must agree with the
+    numpy reference: unique/remap exactly; the grad plan in grouping
+    semantics (the per-id position sets — within-run cell order is
+    irrelevant to the slot sums)."""
+    from open_knowledge_graph_embeddings_tpu.native.loader import (
+        grad_plan_native,
+        native_available,
+        unique_remap_native,
+    )
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        R = int(rng.integers(4, 80))
+        L = int(rng.integers(2, 11))
+        V = int(rng.integers(40, 4000))
+        lens = rng.integers(0, L + 1, R)
+        toks = np.zeros((R, L), np.int32)
+        for r in range(R):
+            toks[r, : lens[r]] = rng.integers(1, V, lens[r])
+        scratch = np.empty(V, np.int32)
+        uids, remapped = unique_remap_native(toks, V, scratch)
+        want = np.union1d(np.int32(0), toks)
+        np.testing.assert_array_equal(uids, want, err_msg=str(trial))
+        np.testing.assert_array_equal(
+            remapped, np.searchsorted(want, toks).astype(np.int32), err_msg=str(trial)
+        )
+
+        U = len(uids)
+        from open_knowledge_graph_embeddings_tpu.train.sparse import (
+            build_token_grad_plan,
+        )
+
+        pn = build_token_grad_plan(remapped, U, K=4, bucket_min=8)
+        pp = build_token_grad_plan(remapped, U, K=4, bucket_min=8, use_native=False)
+
+        def groups(p):
+            out = {}
+            S, K = p["pos"].shape
+            for s in range(S):
+                for k in range(K):
+                    if p["valid"][s, k]:
+                        out.setdefault(int(p["uid"][s]), set()).add(int(p["pos"][s, k]))
+            return out
+
+        assert groups(pn) == groups(pp), trial
+        assert int(pn["valid"].sum()) == int(pp["valid"].sum()), trial
+
+
 def test_sparse_batches_carry_grad_plan_for_lstm():
     """The SparsePlanBuilder emits gather-sum plans for LSTM embedders (and
     only those), and the plan covers every non-pad position exactly once."""
