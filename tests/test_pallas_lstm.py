@@ -226,6 +226,32 @@ class TestFusedLengthAwareLSTM:
         for k, g in grads.items():
             assert np.isfinite(np.asarray(g)).all(), k
 
+    @pytest.mark.tpu
+    @pytest.mark.skipif(
+        jax.default_backend() not in ("tpu", "axon"),
+        reason="scoped-VMEM budgeting is a real Mosaic compile property; "
+        "run with OKET_TPU_TESTS=1 python -m pytest -m tpu tests/",
+    )
+    def test_last_fused_bwd_compiles_at_vmem_marginal_batch(self):
+        """Same VMEM-marginal shape for the round-4 last-state kernels
+        (lstm_encode_last_fused): dlast is tile-constant where dhs was
+        per-step, so the working set is slightly smaller — this pins the
+        compile-and-run regression for the new kernel pair."""
+        L, B, D = 10, 4352, 512
+        rng = np.random.default_rng(3)
+        params = lstm_mod.init_lstm_params(jax.random.key(0), D, D)
+        lens = np.sort(rng.integers(1, L + 1, B))[::-1].copy().astype(np.int32)
+        emb = jnp.asarray(rng.standard_normal((L, B, D)).astype(np.float32) * 0.1)
+
+        def loss(p, x):
+            last = lstm_mod.lstm_last_fused(p, x, jnp.asarray(lens))
+            return jnp.sum(last ** 2)
+
+        val, grads = jax.jit(jax.value_and_grad(loss))(params, emb)
+        assert np.isfinite(float(val))
+        for k, g in grads.items():
+            assert np.isfinite(np.asarray(g)).all(), k
+
     def test_compose_sort_is_invisible(self, toy_dataset_dir):
         """The length sort inside LSTM _compose must not change encoder
         outputs (forced fused path in interpreter mode vs plain path)."""
