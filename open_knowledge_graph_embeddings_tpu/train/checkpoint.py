@@ -195,32 +195,47 @@ def write_shard_slab(directory: str, rank: int, chunks, index) -> None:
 
 
 class _FullReader:
-    """Single-file checkpoint (arrays.npz) behind the reader interface."""
+    """Single-file checkpoint (arrays.npz) behind the reader interface.
+
+    Entries are cached on first load: NpzFile decompresses on every
+    ``__getitem__``, and loading re-reads each array at least twice (shape
+    check + materialize) — more for sharded targets reading per-region."""
 
     def __init__(self, path: str):
         self._z = np.load(os.path.join(path, "arrays.npz"))
+        self._cache: Dict[str, np.ndarray] = {}
 
     def keys(self):
         return list(self._z.files)
 
+    def _get(self, key):
+        if key not in self._cache:
+            self._cache[key] = self._z[key]
+        return self._cache[key]
+
     def shape(self, key):
-        return self._z[key].shape  # npz caches per-entry; fine at this size
+        return self._get(key).shape
 
     def read_full(self, key):
-        return self._z[key]
+        return self._get(key)
 
     def read_region(self, key, norm_idx):
-        return self._z[key][tuple(slice(a, b) for a, b in norm_idx)]
+        return self._get(key)[tuple(slice(a, b) for a, b in norm_idx)]
 
 
 class _ShardReader:
     """Per-shard checkpoint: lazily opens only the slab files that contain
-    chunks overlapping a requested region."""
+    chunks overlapping a requested region.
+
+    Chunk entry names (``key::i``) are only unique *per rank*, so each chunk
+    record is tagged with its slab file at index-merge time and lookups are
+    keyed by ``(slab, entry)`` — a global entry->slab map would collide when
+    one parameter's replica-0 shards span processes (model axis over hosts)
+    and silently read every region from one rank's slab."""
 
     def __init__(self, path: str):
         self.path = path
         self.index: Dict[str, Dict[str, Any]] = {}
-        self._chunk_file: Dict[str, str] = {}  # entry -> slab file
         self._open: Dict[str, Any] = {}
         import glob
 
@@ -232,9 +247,8 @@ class _ShardReader:
                 entry = self.index.setdefault(
                     key, {"shape": info["shape"], "dtype": info["dtype"], "chunks": []}
                 )
-                entry["chunks"].extend(info["chunks"])
                 for c in info["chunks"]:
-                    self._chunk_file[c["entry"]] = slab
+                    entry["chunks"].append({**c, "slab": slab})
 
     def keys(self):
         return list(self.index)
@@ -242,8 +256,7 @@ class _ShardReader:
     def shape(self, key):
         return tuple(self.index[key]["shape"])
 
-    def _load_entry(self, entry: str) -> np.ndarray:
-        slab = self._chunk_file[entry]
+    def _load_entry(self, slab: str, entry: str) -> np.ndarray:
         if slab not in self._open:
             self._open[slab] = np.load(slab)
         return self._open[slab][entry]
@@ -252,7 +265,8 @@ class _ShardReader:
         info = self.index[key]
         shape = tuple(info["shape"])
         if not shape:  # scalar
-            return self._load_entry(info["chunks"][0]["entry"])
+            c0 = info["chunks"][0]
+            return self._load_entry(c0["slab"], c0["entry"])
         out_shape = tuple(b - a for a, b in norm_idx)
         out = np.empty(out_shape, dtype=np.dtype(info["dtype"]))
         filled = 0
@@ -263,7 +277,7 @@ class _ShardReader:
             ]
             if any(lo >= hi for lo, hi in inter):
                 continue
-            src = self._load_entry(c["entry"])
+            src = self._load_entry(c["slab"], c["entry"])
             src_sl = tuple(
                 slice(lo - cs, hi - cs) for (lo, hi), cs in zip(inter, c["start"])
             )
@@ -358,7 +372,19 @@ def load_checkpoint(
                 "skipping %s: shape %s != %s", tk, tuple(reader.shape(ck)), example[tk]
             )
             del keymap[ck]
-    by_target = {tk: ck for ck, tk in keymap.items()}
+    # Renamed keys take deterministic priority over identity-mapped keys
+    # when both land on the same target (reference semantics: the renamed
+    # array overwrites the original, openkge/trainer.py:507-510).
+    renamed = set(weight_map or ())
+    by_target: Dict[str, str] = {}
+    for ck, tk in keymap.items():
+        if tk in by_target and by_target[tk] in renamed and ck not in renamed:
+            continue
+        if tk in by_target and ck != by_target[tk]:
+            logger.warning("weight_map target collision on %s: using %s",
+                           tk, ck if ck in renamed else by_target[tk])
+        if tk not in by_target or ck in renamed:
+            by_target[tk] = ck
 
     def restore_tree(tree: Any, prefix: str) -> Any:
         def repl(kp, leaf):
@@ -461,6 +487,7 @@ class CheckpointManager:
         opt_state,
         meta: Dict[str, Any],
         rank: int,
+        n_ranks: Optional[int] = None,
         is_best: bool = False,
         tags: Optional[List[str]] = None,
         save_all: bool = False,
@@ -470,9 +497,17 @@ class CheckpointManager:
         on a SHARED checkpoint directory.  Each process writes only the
         shards whose replica 0 it owns (:func:`local_checkpoint_chunks`):
         nothing is replicated across the mesh, no process holds a full
-        sharded table.  Rank 0 writes ``meta.json`` last (the completion
-        marker) and performs rotation/best-copies.  Synchronous by design:
-        the barriers are jax collectives and must run on the main thread.
+        sharded table.
+
+        Only the device->host shard fetch and one dir-creation barrier run
+        on the calling thread (device collectives must enqueue in a
+        consistent order across hosts, so they cannot move to a thread);
+        slab serialization + IO runs in the background.  Write-completion
+        ordering uses per-rank ``done.p{rank}`` sentinel files in the shared
+        tmp dir: rank 0's writer thread waits for all sentinels, then writes
+        ``meta.json`` (the completion marker), renames tmp into place and
+        performs rotation/best-copies.  :meth:`wait` on any rank blocks
+        until the finalized checkpoint is visible.
 
         ``barrier``: injection point for tests; defaults to
         ``jax.experimental.multihost_utils.sync_global_devices``.
@@ -481,11 +516,16 @@ class CheckpointManager:
             from jax.experimental import multihost_utils
 
             barrier = multihost_utils.sync_global_devices
+        if n_ranks is None:
+            n_ranks = jax.process_count()
         self._save_seq = getattr(self, "_save_seq", 0) + 1
+        seq = self._save_seq
         name = self.next_name()
         path = os.path.join(self.save_path, name)
         tmp = path + ".tmp"
         self.wait()
+        # synchronous: snapshot this process's shards to host before the
+        # next donated train step invalidates the device buffers
         chunks, index = local_checkpoint_chunks(
             gather_local_shard_tree(variables, opt_state)
         )
@@ -493,19 +533,58 @@ class CheckpointManager:
             if os.path.exists(tmp):
                 shutil.rmtree(tmp)
             os.makedirs(tmp, exist_ok=True)
-        barrier(f"oket-ckpt-dir-{self._save_seq}")
-        write_shard_slab(tmp, rank, chunks, index)
-        barrier(f"oket-ckpt-slabs-{self._save_seq}")
-        if rank == 0:
-            with open(os.path.join(tmp, "meta.json"), "w") as f:
-                json.dump(meta, f, default=str)
-            if os.path.exists(path):
-                shutil.rmtree(path)
-            os.replace(tmp, path)
-            logger.info("saved sharded checkpoint %s", path)
-            self._post_write(path, name, meta, is_best, tags, save_all)
-        barrier(f"oket-ckpt-done-{self._save_seq}")
+        barrier(f"oket-ckpt-dir-{seq}")
+
+        def job():
+            import time as _time
+
+            write_shard_slab(tmp, rank, chunks, index)
+            with open(os.path.join(tmp, f"done.p{rank}"), "w"):
+                pass
+            if rank == 0:
+                deadline = _time.time() + 1800.0
+                want = [os.path.join(tmp, f"done.p{r}") for r in range(n_ranks)]
+                while not all(os.path.exists(w) for w in want):
+                    if _time.time() > deadline:
+                        raise RuntimeError(
+                            f"sharded save {path}: slab sentinels missing after 1800s"
+                        )
+                    _time.sleep(0.05)
+                for w in want:
+                    os.remove(w)
+                with open(os.path.join(tmp, "meta.json"), "w") as f:
+                    json.dump(meta, f, default=str)
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+                os.replace(tmp, path)
+                logger.info("saved sharded checkpoint %s", path)
+                self._post_write(path, name, meta, is_best, tags, save_all)
+
+        self._last_finalized = os.path.join(path, "meta.json")
+        if self.async_write:
+            import threading
+
+            self._pending = threading.Thread(target=job, daemon=True)
+            self._pending.start()
+        else:
+            job()
         return path
+
+    def wait_finalized(self, timeout: float = 1800.0) -> None:
+        """After :meth:`wait`, also poll until rank 0's finalize of the last
+        sharded save is visible (non-zero ranks only join their own slab
+        write — the rename into place happens on rank 0's writer thread)."""
+        import time as _time
+
+        self.wait()
+        marker = getattr(self, "_last_finalized", None)
+        if marker is None:
+            return
+        deadline = _time.time() + timeout
+        while not os.path.exists(marker):
+            if _time.time() > deadline:
+                raise RuntimeError(f"sharded checkpoint {marker} never finalized")
+            _time.sleep(0.05)
 
 
 def merge_resume_config(args: Dict[str, Any], ckpt_config: Dict[str, Any]) -> Dict[str, Any]:

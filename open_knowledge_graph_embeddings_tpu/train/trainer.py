@@ -793,7 +793,7 @@ class Trainer:
         # always leave a resumable checkpoint at the end of a run
         if self.training_steps > 0:
             self.save()
-        self.ckpt.wait()
+        self.ckpt.wait_finalized()
 
     # ---------------------------------------------------------- persistence
 
@@ -841,7 +841,7 @@ class Trainer:
     ):
         from open_knowledge_graph_embeddings_tpu.train.checkpoint import load_checkpoint_meta
 
-        self.ckpt.wait()  # a just-scheduled async write may target this path
+        self.ckpt.wait_finalized()  # a just-scheduled async write may target this path
         # restore the optimizer phase first: a restored phase may use a
         # different optimizer type than phase 0, which changes the shape of
         # the optimizer state and the compiled update rule

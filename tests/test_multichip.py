@@ -252,6 +252,83 @@ def test_sharded_checkpoint_roundtrip(toy_dataset_dir, tmp_path):
     )
 
 
+def test_sharded_checkpoint_cross_rank_entry_names(toy_dataset_dir, tmp_path):
+    """One key's replica-0 shards written by two different ranks: entry
+    names ('key::i') restart at 0 in every rank's slab, so chunk lookup must
+    be keyed by (slab, entry) — a global entry->slab map restores a 2-rank
+    table [A;B] as [B;B]."""
+    from open_knowledge_graph_embeddings_tpu.data import OneToNMentionRelationDataset
+    from open_knowledge_graph_embeddings_tpu.models import build_model
+    from open_knowledge_graph_embeddings_tpu.parallel import (
+        make_mesh,
+        opt_state_shardings,
+        variables_shardings,
+    )
+    from open_knowledge_graph_embeddings_tpu.train import OptimizerRegimes
+    from open_knowledge_graph_embeddings_tpu.train.checkpoint import (
+        load_checkpoint,
+        local_checkpoint_chunks,
+        gather_local_shard_tree,
+        write_shard_slab,
+    )
+    import json
+    import os
+
+    tds = OneToNMentionRelationDataset(
+        dataset_dir=toy_dataset_dir, input_file="train.txt", is_training_data=True,
+        batch_size=4,
+    )
+    model = build_model("LookupComplexRelationModel", tds.meta, entity_slot_size=8)
+    variables = model.init(jax.random.key(4))
+    regimes = OptimizerRegimes({"optimizer": "Adagrad", "lr": 0.1})
+    regimes.update(1, 0)
+    opt_state = regimes.init_state(variables["params"])
+    host_params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    mesh = make_mesh(data=4, model=2)
+    var_sh = variables_shardings(variables, mesh)
+    vs = jax.device_put(variables, var_sh)
+    os_ = jax.device_put(opt_state, opt_state_shardings(opt_state, var_sh, mesh))
+
+    chunks, index = local_checkpoint_chunks(gather_local_shard_tree(vs, os_))
+    multi = [k for k, v in index.items() if len(v["chunks"]) > 1]
+    assert multi, "need at least one multi-chunk key for this test"
+
+    # Simulate 2 processes: split every multi-chunk key's chunks between two
+    # ranks, renumbering entries per rank so both slabs contain 'key::0'.
+    slabs = [({}, {}), ({}, {})]  # (chunks, index) per rank
+    for key, info in index.items():
+        parts = info["chunks"]
+        cut = (len(parts) + 1) // 2 if len(parts) > 1 else len(parts)
+        for rank, sub in ((0, parts[:cut]), (1, parts[cut:])):
+            if not sub:
+                continue
+            rchunks, ridx = slabs[rank]
+            entry_list = []
+            for i, c in enumerate(sub):
+                entry = f"{key}::{i}"  # per-rank numbering, collides across ranks
+                rchunks[entry] = chunks[c["entry"]]
+                entry_list.append({"entry": entry, "start": c["start"], "stop": c["stop"]})
+            ridx[key] = {"shape": info["shape"], "dtype": info["dtype"], "chunks": entry_list}
+
+    ckpt = tmp_path / "ck2"
+    os.makedirs(ckpt)
+    for rank, (rchunks, ridx) in enumerate(slabs):
+        write_shard_slab(str(ckpt), rank, rchunks, ridx)
+    with open(ckpt / "meta.json", "w") as f:
+        json.dump({"training_steps": 7}, f)
+
+    # unsharded target: every region must come from the correct rank's slab
+    target = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(np.asarray(x)), vs
+    )
+    topt = jax.tree_util.tree_map(lambda x: jnp.asarray(np.asarray(x)), os_)
+    nv, _, meta = load_checkpoint(str(ckpt), target, topt)
+    assert meta["training_steps"] == 7
+    for k, want in host_params.items():
+        np.testing.assert_array_equal(np.asarray(nv["params"][k]), want, err_msg=k)
+
+
 def test_sharded_checkpoint_resume_filter_and_weight_map(toy_dataset_dir, tmp_path):
     """Partial loads work against the per-shard format: resume_filter keeps
     unlisted params untouched, weight_map renames checkpoint keys."""
@@ -355,7 +432,8 @@ def test_checkpoint_manager_save_sharded_single_rank(toy_dataset_dir, tmp_path):
     path = mgr.save_sharded(
         vs, os_, {"training_steps": 3}, rank=0, barrier=barriers.append
     )
-    assert len(barriers) == 3  # dir, slabs, done
+    assert len(barriers) == 1  # only the dir barrier runs on the main thread
+    mgr.wait_finalized()  # slab write + finalize run on the writer thread
     assert os.path.exists(os.path.join(path, "arrays.p0.npz"))
     assert os.path.exists(os.path.join(path, "index.p0.json"))
     assert os.path.exists(os.path.join(path, "meta.json"))
