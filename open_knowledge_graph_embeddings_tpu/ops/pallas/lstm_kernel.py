@@ -516,7 +516,7 @@ def _fused_fwd_last_kernel(ntl_ref, tmax_ref, bias_ref, lens_ref, emb_ref,
         # caller used to do disappears.  Arithmetic blend instead of a
         # boolean where: Mosaic cannot insert a minor dim on an i1 vector
         # (only 32-bit types), so the mask is built as f32 and reshaped.
-        sel = (lens_ref[0] == t + 1).astype(jnp.float32)[:, None]
+        sel = (lens_ref[0, 0] == t + 1).astype(jnp.float32)[:, None]
         last_ref[:] = (
             h * sel + last_ref[:].astype(jnp.float32) * (1.0 - sel)
         ).astype(last_ref.dtype)
@@ -528,6 +528,10 @@ def _fused_fwd_last(emb_tm, w_ih_t, w_hh_t, bias_row, lens_row, ntiles, tmax):
     H = H4 // 4
     dt = emb_tm.dtype
     TB = _pick_tile(B)
+    # [B//TB, 1, TB] layout: the block's last two dims EQUAL the array's
+    # last two dims, which Mosaic accepts for any TB (a (1, TB) block over
+    # a (1, B) row is only legal when TB % 128 == 0 — B=288/TB=32 fails)
+    lens_row = lens_row.reshape(B // TB, 1, TB)
     clamp = lambda b, t, ntl, tmx: (jnp.minimum(t, tmx[b] - 1), b, 0)
     const = lambda b, t, ntl, tmx: (0, 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -535,7 +539,7 @@ def _fused_fwd_last(emb_tm, w_ih_t, w_hh_t, bias_row, lens_row, ntiles, tmax):
         grid=(B // TB, L),
         in_specs=[
             pl.BlockSpec((1, H4), const, memory_space=pltpu.VMEM),       # bias
-            pl.BlockSpec((1, TB), lambda b, t, ntl, tmx: (0, b), memory_space=pltpu.VMEM),  # lens
+            pl.BlockSpec((1, 1, TB), lambda b, t, ntl, tmx: (b, 0, 0), memory_space=pltpu.VMEM),  # lens
             pl.BlockSpec((1, TB, D), clamp, memory_space=pltpu.VMEM),    # emb
             pl.BlockSpec((D, H4), const, memory_space=pltpu.VMEM),       # w_ih
             pl.BlockSpec((H, H4), const, memory_space=pltpu.VMEM),       # w_hh
@@ -605,7 +609,7 @@ def _fused_bwd_last_kernel(ntl_ref, tmax_ref, bias_ref, lens_ref, emb_ref,
         # — the caller never materializes a [L, B, H] dhs; the [B, H] dlast
         # block is VMEM-resident for the whole tile.  f32 mask: see the
         # forward kernel's Mosaic minor-dim note.
-        inject = (lens_ref[0] == t + 1).astype(jnp.float32)[:, None]
+        inject = (lens_ref[0, 0] == t + 1).astype(jnp.float32)[:, None]
         dh = dh_scr[:] + dlast_ref[:].astype(jnp.float32) * inject
         tc = jnp.tanh(c_t)
         do = dh * tc
@@ -654,6 +658,8 @@ def _fused_bwd_last(emb_tm, w_ih_t, w_hh_t, bias_row, lens_row, hs, cs, dlast,
     H = H4 // 4
     dt = emb_tm.dtype
     TB = min(_pick_tile(B), 128)
+    # see _fused_fwd_last: the last two block dims must equal the array's
+    lens_row = lens_row.reshape(B // TB, 1, TB)
     t_eff = lambda t, tmx, b: jnp.minimum(L - 1 - t, tmx[b] - 1)
     rev = lambda b, t, ntl, tmx: (t_eff(t, tmx, b), b, 0)
     rev_prev = lambda b, t, ntl, tmx: (jnp.maximum(t_eff(t, tmx, b) - 1, 0), b, 0)
@@ -663,7 +669,7 @@ def _fused_bwd_last(emb_tm, w_ih_t, w_hh_t, bias_row, lens_row, hs, cs, dlast,
         grid=(B // TB, L),
         in_specs=[
             pl.BlockSpec((1, H4), const, memory_space=pltpu.VMEM),   # bias
-            pl.BlockSpec((1, TB), lambda b, t, ntl, tmx: (0, b), memory_space=pltpu.VMEM),  # lens
+            pl.BlockSpec((1, 1, TB), lambda b, t, ntl, tmx: (b, 0, 0), memory_space=pltpu.VMEM),  # lens
             pl.BlockSpec((1, TB, D), rev, memory_space=pltpu.VMEM),  # emb
             pl.BlockSpec((D, H4), const, memory_space=pltpu.VMEM),   # w_ih
             pl.BlockSpec((H, H4), const, memory_space=pltpu.VMEM),   # w_hh

@@ -227,9 +227,11 @@ class SparsePlanBuilder:
         self._tl = threading.local()  # per-worker-thread native scratch
         # the gather-sum backward plan is consumed by the LSTM embedder's
         # time-major sorted layout; its position indices reference the
-        # GLOBAL batch, so it is disabled on data-sharded meshes (the
-        # trainer passes grad_plan=False there) where the plain per-shard
-        # scatter composes with GSPMD partitioning instead
+        # GLOBAL batch, which stays valid on device meshes too: GSPMD
+        # programs are written globally, so the in-jit length sort orders
+        # the global batch and the host replica of that sort sees the same
+        # rows (replicated collate).  Mesh equality is pinned by
+        # tests/test_multichip.py::test_sparse_grad_plan_on_mesh.
         from open_knowledge_graph_embeddings_tpu.models.embedders import LSTMEmbedder
 
         self.grad_plan = bool(grad_plan) and isinstance(embedder, LSTMEmbedder)

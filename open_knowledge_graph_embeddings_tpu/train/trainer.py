@@ -143,15 +143,16 @@ class Trainer:
                 self._sparse_plan = SparsePlanBuilder(
                     model.embedder, entity_sparse,
                     min_rows_ratio=float(args.get("sparse_min_ratio", 12.0)),
-                    # the gather-sum token-table backward plan references
-                    # global batch positions; on data-sharded meshes the
-                    # per-shard scatter composes with GSPMD instead.  The
-                    # sparse_grad_plan config key can force it off when the
-                    # host-side plan build is the bottleneck.
-                    grad_plan=(
-                        self.mesh is None
-                        and bool(args.get("sparse_grad_plan", True))
-                    ),
+                    # the gather-sum token-table backward plan composes with
+                    # meshes: under GSPMD the in-jit length sort is over the
+                    # GLOBAL batch, replicated collate gives every host that
+                    # global batch, and the host plan replicates the same
+                    # sort — so the plan's global time-major positions stay
+                    # valid (mesh equality pinned by
+                    # tests/test_multichip.py::test_sparse_grad_plan_on_mesh).
+                    # The sparse_grad_plan config key can force it off when
+                    # the host-side plan build is the bottleneck.
+                    grad_plan=bool(args.get("sparse_grad_plan", True)),
                 )
                 logger.info(
                     "row-sparse updates for tables %s (entity_sparse=%s)",

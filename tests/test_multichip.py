@@ -252,6 +252,101 @@ def test_sharded_checkpoint_roundtrip(toy_dataset_dir, tmp_path):
     )
 
 
+def test_sparse_grad_plan_on_mesh():
+    """The gather-sum grad-plan sparse step composes with device meshes:
+    on a 4x2 data x model mesh, planned sparse == plan-less sparse == dense
+    (GSPMD programs are global, so the host plan's global time-major
+    positions match the in-jit global length sort)."""
+    from open_knowledge_graph_embeddings_tpu.data.batching import Batch
+    from open_knowledge_graph_embeddings_tpu.models.model import build_model
+    from open_knowledge_graph_embeddings_tpu.train.optim import OptimizerRegimes
+    from open_knowledge_graph_embeddings_tpu.train.sparse import (
+        SparsePlanBuilder,
+        make_sparse_train_step,
+    )
+    from open_knowledge_graph_embeddings_tpu.train.step import (
+        make_train_step,
+        train_batch_to_arrays,
+    )
+    from open_knowledge_graph_embeddings_tpu.parallel import (
+        make_mesh,
+        opt_state_shardings,
+        train_batch_shardings,
+        variables_shardings,
+    )
+    from __graft_entry__ import _synthetic_meta
+
+    rng = np.random.default_rng(0)
+    meta = _synthetic_meta(entities=64, relations=16, ent_tokens=48, rel_tokens=24, max_len=6)
+    model = build_model(
+        "LSTMComplexRelationModel", meta, entity_slot_size=16, init_std=0.1, dropout=0.0
+    )
+    variables = model.init(jax.random.key(0))
+    regimes = OptimizerRegimes({"optimizer": "Adagrad", "lr": 0.2})
+    regimes.update(1, 0)
+    hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
+
+    B, N = 16, 32
+
+    def mk_batch():
+        ent = rng.integers(2, meta.entities_size, B).astype(np.int32)
+        rel = rng.integers(2, meta.relations_size, B).astype(np.int32)
+        cand = rng.choice(np.arange(2, meta.entities_size, dtype=np.int32), N, replace=False)
+        P = 32
+        pos_rows = np.full(P, -1, np.int32)
+        pos_cols = np.full(P, -1, np.int32)
+        pos_rows[:B] = np.arange(B)
+        pos_cols[:B] = rng.integers(0, 16, B)
+        return Batch(
+            ent_ids=ent, rel_ids=rel, is_sp=(np.arange(B) % 2 == 0),
+            row_valid=np.ones(B, bool), num_rows=B, candidate_ids=cand,
+            col_valid=np.ones(N, bool), num_cols=N, cand_offset=2,
+            pos_rows=pos_rows, pos_cols=pos_cols, normalizer_loss=float(B * N),
+        )
+
+    batches = [mk_batch() for _ in range(3)]
+    mesh = make_mesh(data=4, model=2)
+
+    def run(step_fn, planner):
+        vs = jax.tree_util.tree_map(jnp.copy, variables)
+        var_sh = variables_shardings(vs, mesh)
+        vs = jax.device_put(vs, var_sh)
+        opt = regimes.init_state(vs["params"])
+        opt = jax.device_put(opt, opt_state_shardings(opt, var_sh, mesh))
+        for i, b in enumerate(batches):
+            arrs = planner(b)
+            sh = train_batch_shardings(arrs, mesh)
+            arrs = {k: jax.device_put(np.asarray(v), sh[k]) for k, v in arrs.items()}
+            vs, opt, st = step_fn(vs, opt, hp, arrs, jax.random.key(100 + i))
+        return jax.tree_util.tree_map(np.asarray, vs["params"]), float(st["loss_sum"])
+
+    dense, loss_d = run(make_train_step(model, regimes, variables["params"]),
+                        train_batch_to_arrays)
+    sparse_step = make_sparse_train_step(
+        model, regimes, variables["params"], entity_sparse=True
+    )
+    plan_off, loss_off = run(
+        sparse_step,
+        SparsePlanBuilder(model.embedder, True, min_rows_ratio=0.0, grad_plan=False),
+    )
+    plan_on, loss_on = run(
+        sparse_step,
+        SparsePlanBuilder(model.embedder, True, min_rows_ratio=0.0, grad_plan=True),
+    )
+
+    assert abs(loss_d - loss_off) < 1e-3 and abs(loss_d - loss_on) < 1e-3
+    flat_d = dict(jax.tree_util.tree_flatten_with_path(dense)[0])
+    for other in (plan_off, plan_on):
+        flat_o = dict(jax.tree_util.tree_flatten_with_path(other)[0])
+        for kp, leaf in flat_d.items():
+            # atol floor: gather-sum slot order vs dense scatter order
+            # (see tests/test_sparse.py::test_sparse_matches_dense)
+            np.testing.assert_allclose(
+                np.asarray(leaf), np.asarray(flat_o[kp]), rtol=2e-5, atol=1e-5,
+                err_msg=str(kp),
+            )
+
+
 def test_sharded_checkpoint_cross_rank_entry_names(toy_dataset_dir, tmp_path):
     """One key's replica-0 shards written by two different ranks: entry
     names ('key::i') restart at 0 in every rank's slab, so chunk lookup must
