@@ -204,12 +204,23 @@ class SparsePlanBuilder:
         V/U~3 measured 5.4 ms SLOWER sparse; the 2.47M-entity lookup table
         at V/U~300 measured 20x faster).
 
-        ``layout``: 'compact' ships the unique row ids directly (the XLA
-        gather/scatter path — measured fastest on v5e, where XLA scatter
-        costs ~0.35us/row regardless of width); 'block' groups rows into
-        8-row HBM tiles for the Pallas block-scatter kernel (exact, but
-        DMA-issue-bound at ~0.27us/DMA — today slower at entity-table
-        shapes; kept selectable via OKET_SPARSE_PALLAS=1)."""
+        ``layout``:
+
+        * 'compact' (default): unique row ids only — the XLA gather/scatter
+          path.  Measured fastest IN-STEP on v5e (flagship: 10.98 ms vs
+          hybrid's 11.11 — XLA overlaps its scatters with the step tail
+          better than the custom-call can),
+        * 'hybrid' (OKET_SPARSE_HYBRID=1): compact ids for the loss /
+          gradient path PLUS the 8-row-block update plan (``block_ids``,
+          ``slot_src``, ``bvalid``) for the Pallas RMW kernel — the
+          gradient stays [U, d] (no 8x block inflation in the backward) and
+          the update batches 4 block DMAs per touched tile.  Faster
+          ISOLATED (pair 2.14 ms vs 2.36) and on locally-attached chips it
+          may win; in this environment the in-step difference is noise,
+        * 'block' (OKET_SPARSE_PALLAS=1): rows grouped into 8-row HBM tiles
+          with the gradient itself block-laid-out; the 8x row-space
+          inflation in the backward makes it strictly worse in-step (kept
+          for the kernel's direct tests)."""
         self.embedder = embedder
         self.entity_sparse = entity_sparse
         self.uid_bucket_min = uid_bucket_min
@@ -217,8 +228,13 @@ class SparsePlanBuilder:
         if layout is None:
             import os
 
-            layout = "block" if os.environ.get("OKET_SPARSE_PALLAS") else "compact"
-        assert layout in ("compact", "block"), layout
+            if os.environ.get("OKET_SPARSE_PALLAS"):
+                layout = "block"
+            elif os.environ.get("OKET_SPARSE_HYBRID"):
+                layout = "hybrid"
+            else:
+                layout = "compact"
+        assert layout in ("compact", "block", "hybrid"), layout
         self.layout = layout
         self.tables = sparse_table_names(embedder, entity_sparse)
         self.is_token = isinstance(embedder, TokenEmbedderBase)
@@ -244,7 +260,7 @@ class SparsePlanBuilder:
         sparsification to pay off (then no plan keys are emitted and the
         caller must keep original ids)."""
         B = self.BLOCK
-        if self.layout == "compact":
+        if self.layout in ("compact", "hybrid"):
             U = next_bucket(len(uids), minimum=self.uid_bucket_min)
             if height < self.min_rows_ratio * U:
                 return None
@@ -254,6 +270,28 @@ class SparsePlanBuilder:
             valid[: len(uids)] = True
             d[f"sparse/{table}/uids"] = padded
             d[f"sparse/{table}/valid"] = valid
+            if self.layout == "hybrid" and height % B == 0:
+                # update-side block plan: compact row i lives at block-layout
+                # slot pos[i]; the step converts g with ONE streaming gather
+                # (slot_src, fill past-U -> 0) and the Pallas kernel RMWs
+                # only the touched 8-row tiles
+                blocks = np.unique(uids >> 3)
+                Kb = next_bucket(
+                    len(blocks), minimum=max(self.uid_bucket_min // B, 8)
+                )
+                block_ids = np.zeros(Kb, np.int32)
+                block_ids[: len(blocks)] = blocks
+                pos = (
+                    np.searchsorted(blocks, uids >> 3).astype(np.int32) * B
+                    + (uids & (B - 1))
+                )
+                slot_src = np.full(Kb * B, U, np.int32)
+                slot_src[pos] = np.arange(len(uids), dtype=np.int32)
+                bvalid = np.zeros(Kb * B, bool)
+                bvalid[pos] = True
+                d[f"sparse/{table}/block_ids"] = block_ids
+                d[f"sparse/{table}/slot_src"] = slot_src
+                d[f"sparse/{table}/bvalid"] = bvalid
             return lambda x: np.searchsorted(uids, x).astype(np.int32)
         # block-aligned layout: sorted unique row ids grouped into their
         # enclosing 8-row HBM tiles (unique block ids drive the Pallas kernel)
@@ -474,17 +512,19 @@ class SparsePlanBuilder:
 # ------------------------------------------------------------- row updates
 
 
-def _sparse_adagrad_rows(g_rows, uids, valid, p, s, hp, block_ids=None):
+def _sparse_adagrad_rows(g_rows, uids, valid, p, s, hp, block_ids=None,
+                         slot_src=None, block_valid=None):
     step = s["step"] + 1.0
     clr = hp["lr"] / (1.0 + (step - 1.0) * hp["lr_decay"])
     new_p, new_acc = scatter_adagrad(
         g_rows, uids, valid, p, s["sum"], clr, hp["weight_decay"], hp["eps"],
-        block_ids=block_ids,
+        block_ids=block_ids, slot_src=slot_src, block_valid=block_valid,
     )
     return new_p, {"sum": new_acc, "step": step}
 
 
-def _sparse_sgd_rows(g_rows, uids, valid, p, s, hp, block_ids=None):
+def _sparse_sgd_rows(g_rows, uids, valid, p, s, hp, block_ids=None,
+                     slot_src=None, block_valid=None):
     vm = valid[:, None].astype(jnp.float32)
     p_rows = p[uids]
     g = (g_rows.astype(jnp.float32) + hp["weight_decay"] * p_rows) * vm
@@ -604,6 +644,8 @@ def make_sparse_train_step(
             new_params[t], new_opt[t] = rule(
                 g_rows[t], uids[t], valid[t], params[t], opt_state[t], hp,
                 block_ids=batch.get(f"sparse/{t}/block_ids"),
+                slot_src=batch.get(f"sparse/{t}/slot_src"),
+                block_valid=batch.get(f"sparse/{t}/bvalid"),
             )
         new_variables = {
             "params": new_params,
@@ -730,6 +772,8 @@ def make_sparse_accum_steps(
                 opt_state[t],
                 hp,
                 block_ids=batch.get(f"sparse/{t}/block_ids"),
+                slot_src=batch.get(f"sparse/{t}/slot_src"),
+                block_valid=batch.get(f"sparse/{t}/bvalid"),
             )
         return {**variables, "params": new_params}, new_opt
 

@@ -73,7 +73,7 @@ def _run_steps(model, variables, batches, step, plan, n=3, hp_over=None):
     ("LSTMComplexRelationModel", True),
     ("UnigramPoolingComplexRelationModel", True),
 ])
-@pytest.mark.parametrize("layout", ["compact", "block"])
+@pytest.mark.parametrize("layout", ["compact", "block", "hybrid"])
 def test_sparse_matches_dense(model_name, batch_shared, layout):
     rng = np.random.default_rng(0)
     meta = _synthetic_meta(entities=64, relations=16, ent_tokens=48, rel_tokens=24, max_len=6)
@@ -348,7 +348,7 @@ def test_small_tables_fall_back_to_dense_plan():
     ("LSTMComplexRelationModel", True),
     ("LookupComplexRelationModel", False),  # relation table only
 ])
-@pytest.mark.parametrize("layout", ["compact", "block"])
+@pytest.mark.parametrize("layout", ["compact", "block", "hybrid"])
 def test_sparse_accumulation_matches_dense_accumulation(model_name, batch_shared, layout):
     """Sparse updates composed with gradient accumulation (union-row
     windows, sparse.make_sparse_accum_steps) == the dense accumulation path
