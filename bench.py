@@ -538,6 +538,19 @@ def bench_full_vocab_eval():
         dt = (time.perf_counter() - t0) / iters
         out[f"B{B}_prefixes_per_sec"] = round(B / dt, 1)
         out[f"B{B}_batch_ms"] = round(dt * 1e3, 2)
+        if B == 256:
+            # KL objective through the same chunk-scan formulation (round-5:
+            # online-logsumexp pass A; reference KL eval protocol,
+            # openkge/trainer.py:99-111)
+            kl_step = make_eval_step(model, loss_type="kl")
+            packed = kl_step(variables, batch, cand_emb)
+            np.asarray(packed)
+            t0 = time.perf_counter()
+            outs = [kl_step(variables, batch, cand_emb) for _ in range(iters)]
+            np.asarray(outs[-1])
+            dt = (time.perf_counter() - t0) / iters
+            out["B256_kl_prefixes_per_sec"] = round(B / dt, 1)
+            out["B256_kl_batch_ms"] = round(dt * 1e3, 2)
     out["score_tflops_per_batch32"] = 2 * 32 * N * D / 1e12
     return out
 

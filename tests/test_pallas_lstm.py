@@ -340,3 +340,58 @@ class TestFusedLengthAwareLSTM:
         )
         np.testing.assert_allclose(np.asarray(xa), np.asarray(xa0), rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(xb), np.asarray(xb0), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(
+    jax.default_backend() not in ("tpu", "axon"),
+    reason="verifies the cross-shape dot invariant on the real backend; "
+    "run with OKET_TPU_TESTS=1 python -m pytest -m tpu tests/",
+)
+def test_chunked_eval_tie_cells_tpu():
+    """On-device check of the eval_stats_chunked exactness assumption: the
+    [B, C] extraction matmul (pass A) and the [G, C] comparison matmul
+    (pass B) produce bitwise-identical values for identical rows, so
+    engineered tie cells (duplicate candidate embeddings) rank exactly as
+    in the dense formulation.  XLA does not guarantee this across
+    differently-shaped dots — this pins it per backend (see the
+    train/evaluate.py docstring; ADVICE r4)."""
+    from open_knowledge_graph_embeddings_tpu.train.evaluate import (
+        eval_stats_chunked,
+        ranks_from_scores,
+    )
+
+    rng = np.random.default_rng(3)
+    B, N, d = 8, 4096, 128
+    q = rng.standard_normal((B, d)).astype(np.float32)
+    cand = rng.standard_normal((N, d)).astype(np.float32)
+    # many exact-tie cells: clusters of duplicated candidate rows
+    for base in range(0, 64, 4):
+        cand[base + 1] = cand[base]
+        cand[base + 2] = cand[base]
+    scores = jnp.asarray(q) @ jnp.asarray(cand).T
+
+    G = 16
+    g_rows = np.repeat(np.arange(B), 2)[:G].astype(np.int32)
+    # gold mentions point INTO the duplicate clusters -> 'true' ties
+    # against the other copies of the same embedding
+    g_ments = (np.arange(G)[:, None] * 4 % 64).astype(np.int32)
+    fr = np.full(8, -1, np.int32)
+    fc = np.full(8, -1, np.int32)
+    pos_r = np.full(4, -1, np.int32)
+    pos_c = np.full(4, -1, np.int32)
+
+    ranks_d, valid_d = ranks_from_scores(
+        scores, jnp.asarray(fr), jnp.asarray(fc),
+        jnp.asarray(g_rows), jnp.asarray(g_ments), None,
+    )
+    _, ranks_c, valid_c = eval_stats_chunked(
+        jnp.asarray(q), jnp.asarray(cand),
+        jnp.asarray(pos_r), jnp.asarray(pos_c),
+        jnp.ones(B, bool), None, jnp.float32(N),
+        jnp.asarray(fr), jnp.asarray(fc),
+        jnp.asarray(g_rows), jnp.asarray(g_ments),
+        0.0, chunk=1024,
+    )
+    np.testing.assert_array_equal(np.asarray(valid_c), np.asarray(valid_d))
+    np.testing.assert_array_equal(np.asarray(ranks_c), np.asarray(ranks_d))

@@ -464,6 +464,60 @@ class TestMetricsParity:
             )
             assert float(loss_c) == pytest.approx(float(loss_d), rel=1e-5), chunk
 
+        # --- KL objective: online-logsumexp accumulation == dense
+        # KLDivLoss(sum) over log_softmax rows (reference:
+        # openkge/trainer.py:99-111); ranks are loss-independent
+        from open_knowledge_graph_embeddings_tpu.train.loss import (
+            dense_labels,
+            kl_div_sum,
+        )
+
+        labels = dense_labels(jnp.asarray(pos_rp), jnp.asarray(pos_cp), B, N)
+        loss_kl_d = kl_div_sum(jnp.asarray(scores), labels, mask)
+        for chunk in (16, 100, 33):
+            loss_kl_c, ranks_c, valid_c = eval_stats_chunked(
+                jnp.asarray(q), jnp.asarray(cand),
+                jnp.asarray(pos_rp), jnp.asarray(pos_cp),
+                jnp.asarray(row_valid), jnp.asarray(col_valid), jnp.float32(N_real),
+                jnp.asarray(frp), jnp.asarray(fcp),
+                jnp.asarray(grp), jnp.asarray(gmp),
+                0.0, chunk=chunk, loss_type="kl",
+            )
+            assert float(loss_kl_c) == pytest.approx(
+                float(loss_kl_d), rel=1e-5
+            ), f"kl chunk={chunk}"
+            v = np.asarray(valid_d)
+            np.testing.assert_array_equal(
+                np.asarray(ranks_c)[v], np.asarray(ranks_d)[v],
+                err_msg=f"kl chunk={chunk}",
+            )
+
+        # --- filtered top-k: per-chunk top-k + merge == dense lax.top_k
+        # over the filtered matrix, including FILTER_VALUE cells and ties
+        from open_knowledge_graph_embeddings_tpu.train.evaluate import (
+            filtered_topk,
+            filtered_topk_chunked,
+        )
+
+        k = 7
+        ts_d, tc_d = filtered_topk(
+            jnp.asarray(scores), jnp.asarray(frp), jnp.asarray(fcp),
+            jnp.asarray(col_valid), k,
+        )
+        for chunk in (16, 100, 33):
+            ts_c, tc_c = filtered_topk_chunked(
+                jnp.asarray(q), jnp.asarray(cand),
+                jnp.asarray(frp), jnp.asarray(fcp), jnp.asarray(col_valid),
+                k, chunk=chunk,
+            )
+            np.testing.assert_allclose(
+                np.asarray(ts_c), np.asarray(ts_d), rtol=1e-6, atol=1e-6,
+                err_msg=f"topk chunk={chunk}",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(tc_c), np.asarray(tc_d), err_msg=f"topk chunk={chunk}"
+            )
+
 
 class TestLSTMTucker3Parity:
     def test_scores(self, rng):
