@@ -9,7 +9,7 @@
 // Format per line (reference openkge/default.yaml:100-150):
 //   subj_id \t rel_id \t obj_id \t subj_mention_ids(space sep) \t obj_mention_ids
 //
-// Build: g++ -O3 -march=native -shared -fPIC (see native/build.py); no
+// Build: g++ -O3 -march=native -shared -fPIC (see native/loader.py:37-58); no
 // external dependencies.
 
 #include <cstdint>
