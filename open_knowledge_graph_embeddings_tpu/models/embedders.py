@@ -39,6 +39,7 @@ Deliberate fixes of reference quirks (documented, not silently copied):
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -160,48 +161,86 @@ def token_gather_tm(
     folded in); level 2 scatter-adds only the ~P/K slot rows.  Exactness:
     every non-pad position appears in exactly one (slot, k) cell — the
     host builder is tested against the dense scatter.
+
+    ``toks`` and the plan are PRIMAL arguments of the custom-VJP functions
+    (float0 cotangents), never closure captures: a closed-over tracer
+    leaks when the gather runs inside an inner transform (shard_map
+    regions, models/embedders._lstm_states).
     """
-    V = table.shape[0]
+    if grad_plan is None:
+        return _tg_scatter(table, toks, str(jnp.dtype(cdtype)), stop_pad_grad, time_major)
+    return _tg_plan(
+        table, toks, grad_plan["pos"], grad_plan["valid"], grad_plan["uid"],
+        str(jnp.dtype(cdtype)), stop_pad_grad, time_major,
+    )
 
-    @jax.custom_vjp
-    def gather(tbl):
-        emb = tbl[toks].astype(cdtype)
-        return _pad_stop_gradient(emb, toks) if stop_pad_grad else emb
 
-    def fwd(tbl):
-        return gather(tbl), None
+def _f0(x):
+    import numpy as _np
 
-    def bwd(_, ct):
-        d = ct.shape[-1]
-        if time_major:
-            ct_tm = ct.reshape(-1, d)
-            ids = toks.reshape(-1)
-        else:
-            ct_tm = jnp.swapaxes(ct, 0, 1).reshape(-1, d)
-            ids = jnp.swapaxes(toks, 0, 1).reshape(-1)
-        if grad_plan is not None:
-            g = jnp.take(ct_tm, grad_plan["pos"].reshape(-1), axis=0)
-            g = g.reshape(*grad_plan["pos"].shape, d)  # [S, K, d]
-            slot_sums = jnp.sum(
-                jnp.where(grad_plan["valid"][..., None], g.astype(jnp.float32), 0.0),
-                axis=1,
-            )
-            dtable = (
-                jnp.zeros((V, d), jnp.float32)
-                .at[grad_plan["uid"]]
-                .add(slot_sums, mode="drop")
-            )
-            return (dtable,)
-        ids = jnp.where(ids == PAD, jnp.int32(V), ids)  # out of range -> dropped
-        dtable = (
-            jnp.zeros((V, d), jnp.float32)
-            .at[ids]
-            .add(ct_tm.astype(jnp.float32), mode="drop")
-        )
-        return (dtable,)
+    return _np.zeros(x.shape, dtype=jax.dtypes.float0)
 
-    gather.defvjp(fwd, bwd)
-    return gather(table)
+
+def _ct_time_major(ct, toks, time_major):
+    d = ct.shape[-1]
+    if time_major:
+        return ct.reshape(-1, d), toks.reshape(-1), d
+    return (
+        jnp.swapaxes(ct, 0, 1).reshape(-1, d),
+        jnp.swapaxes(toks, 0, 1).reshape(-1),
+        d,
+    )
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _tg_scatter(table, toks, cdtype, stop_pad_grad, time_major):
+    emb = table[toks].astype(cdtype)
+    return _pad_stop_gradient(emb, toks) if stop_pad_grad else emb
+
+
+def _tg_scatter_fwd(table, toks, cdtype, stop_pad_grad, time_major):
+    return _tg_scatter(table, toks, cdtype, stop_pad_grad, time_major), (
+        toks, table.shape[0],
+    )
+
+
+def _tg_scatter_bwd(cdtype, stop_pad_grad, time_major, res, ct):
+    toks, V = res
+    ct_tm, ids, d = _ct_time_major(ct, toks, time_major)
+    ids = jnp.where(ids == PAD, jnp.int32(V), ids)  # out of range -> dropped
+    dtable = (
+        jnp.zeros((V, d), jnp.float32).at[ids].add(ct_tm.astype(jnp.float32), mode="drop")
+    )
+    return (dtable, _f0(toks))
+
+
+_tg_scatter.defvjp(_tg_scatter_fwd, _tg_scatter_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _tg_plan(table, toks, pos, valid, uid, cdtype, stop_pad_grad, time_major):
+    emb = table[toks].astype(cdtype)
+    return _pad_stop_gradient(emb, toks) if stop_pad_grad else emb
+
+
+def _tg_plan_fwd(table, toks, pos, valid, uid, cdtype, stop_pad_grad, time_major):
+    out = _tg_plan(table, toks, pos, valid, uid, cdtype, stop_pad_grad, time_major)
+    return out, (toks, pos, valid, uid, table.shape[0])
+
+
+def _tg_plan_bwd(cdtype, stop_pad_grad, time_major, res, ct):
+    toks, pos, valid, uid, V = res
+    ct_tm, _ids, d = _ct_time_major(ct, toks, time_major)
+    g = jnp.take(ct_tm, pos.reshape(-1), axis=0)
+    g = g.reshape(*pos.shape, d)  # [S, K, d]
+    slot_sums = jnp.sum(
+        jnp.where(valid[..., None], g.astype(jnp.float32), 0.0), axis=1
+    )
+    dtable = jnp.zeros((V, d), jnp.float32).at[uid].add(slot_sums, mode="drop")
+    return (dtable, _f0(toks), _f0(pos), _f0(valid), _f0(uid))
+
+
+_tg_plan.defvjp(_tg_plan_fwd, _tg_plan_bwd)
 
 
 class Embedder:
@@ -212,6 +251,16 @@ class Embedder:
     meta: DatasetMeta
     #: parameter paths (slash-separated) of tables whose PAD row is frozen
     pad_frozen_tables: Tuple[str, ...] = ()
+
+    def set_row_shard_ctx(self, mesh, axis, plan_key: Optional[str] = None) -> None:
+        """Mesh-region context for sequence encoders (set by the model
+        around each encode region, models/model.py set_mesh): when a mesh
+        and axis are given, row-encode cores run inside shard_map over that
+        axis; ``plan_key`` overrides which gather-sum grad plan the region
+        consumes (candidate vs query plans are separate in mesh mode).
+        A no-op for embedders without a sequence core."""
+        self._row_shard_ctx = None if mesh is None else (mesh, axis)
+        self._plan_key_override = plan_key
 
     def init(self, rng: jax.Array) -> Variables:
         raise NotImplementedError
@@ -700,23 +749,24 @@ class LSTMEmbedder(TokenEmbedderBase):
         )
         return {"params": params, "state": state, "buffers": buffers}
 
-    def _lstm_states(self, variables, ids, kind, table_name, lstm_name, train=False):
-        """Token gather + LSTM recurrence + last-non-pad-state select for a
-        row batch; returns the raw [B, H] states (pre-norm/dropout)."""
-        # the whole sequence path is time-major [L, B, .]: gather, input
+    def _lstm_states_core(self, table, lstm, toks, plan):
+        """Pure row-encode core: token gather + LSTM recurrence +
+        last-non-pad-state select on a [R, L] token block -> [R, H].
+
+        Runs either globally (single device / GSPMD) or as the per-shard
+        body of a ``shard_map`` region (:meth:`_lstm_states`): the length
+        sort, the fused Pallas kernels and the gather-sum plan are all
+        row-block-local, so inside a region they operate on the shard's
+        rows only."""
+        # the whole sequence path is time-major [L, R, .]: gather, input
         # projection, recurrence and last-state select all consume/produce
-        # [L, B]-contiguous tensors, so no batch-major relayout copies appear
+        # [L, R]-contiguous tensors, so no batch-major relayout copies appear
         # in the forward or backward graph
-        toks_tm = self._tokens(variables, ids, kind).T  # [L, B]
+        toks_tm = toks.T  # [L, R]
         L, B = toks_tm.shape
-        d_in = variables["params"][table_name].shape[1]
-        H = variables["params"][lstm_name]["w_hh"].shape[1]
+        d_in = table.shape[1]
+        H = lstm["w_hh"].shape[1]
         fused = lstm_fused_supported(B, L, d_in, H)
-        # gather-sum backward plan for the token table (train/sparse.py
-        # SparsePlanBuilder): host-built, keyed to the SORTED time-major
-        # layout, so its presence also forces the sorted path; only the
-        # sparse train step ships it (train=True), eval buffers never do
-        plan = variables["buffers"].get(f"{kind}_token_grad_plan") if train else None
         use_sorted = fused or plan is not None
         if use_sorted:
             # sort rows by descending length so the rows active at time t
@@ -727,20 +777,84 @@ class LSTMEmbedder(TokenEmbedderBase):
             order, unsort = length_sort_perm(lengths_all, L)
             toks_tm = toks_tm[:, order]
         emb_tm = token_gather_tm(
-            variables["params"][table_name], toks_tm, self._cdtype,
-            time_major=True, grad_plan=plan,
-        )  # [L, B, d]
+            table, toks_tm, self._cdtype, time_major=True, grad_plan=plan,
+        )  # [L, R, d]
         lengths = jnp.sum((toks_tm > 0).astype(jnp.int32), axis=0)
         if fused:
-            # last-state select fused into the kernels: [B, H] out directly
-            x = lstm_last_fused(variables["params"][lstm_name], emb_tm, lengths)
+            # last-state select fused into the kernels: [R, H] out directly
+            x = lstm_last_fused(lstm, emb_tm, lengths)
             return x[unsort]
-        out_tm = lstm_forward_tm(variables["params"][lstm_name], emb_tm)  # [L, B, H]
+        out_tm = lstm_forward_tm(lstm, emb_tm)  # [L, R, H]
         idx = jnp.clip(lengths - 1, 0, toks_tm.shape[0] - 1)
         x = jnp.take_along_axis(out_tm, idx[None, :, None], axis=0)[0]
         if use_sorted:
             x = x[unsort]  # undo the length sort (counting-sort inverse)
         return x
+
+    def _lstm_states(self, variables, ids, kind, table_name, lstm_name, train=False):
+        """Token gather + LSTM recurrence + last-non-pad-state select for a
+        row batch; returns the raw [B, H] states (pre-norm/dropout).
+
+        When a row-shard context is set (:meth:`set_row_shard_ctx` — the
+        model sets it per encode region on device meshes), the core runs
+        inside a ``jax.shard_map`` over the context's mesh axis: each shard
+        sorts, gathers and runs the recurrence kernels on ITS row block
+        only.  Without the region, the in-jit global length sort (and, on
+        real TPUs, the unpartitionable Pallas custom-call) forces GSPMD to
+        REPLICATE the whole encode on every device — measured by
+        tools/scaling_model.py --hlo-sweep.  Replicated inputs (token
+        table / rows, LSTM weights) get their per-shard cotangents psum'd
+        by shard_map's AD, reproducing the global gradient exactly (pinned
+        by tests/test_multichip.py::test_sparse_grad_plan_on_mesh)."""
+        # gather-sum backward plan for the token table (train/sparse.py
+        # SparsePlanBuilder): host-built, keyed to the SORTED time-major
+        # layout, so its presence also forces the sorted path; only the
+        # sparse train step ships it (train=True), eval buffers never do.
+        # In a shard context the model may override the plan key (separate
+        # candidate / query plans for the split encodes).
+        ctx = getattr(self, "_row_shard_ctx", None)
+        plan_key = getattr(self, "_plan_key_override", None) or f"{kind}_token_grad_plan"
+        plan = variables["buffers"].get(plan_key) if train else None
+        toks = self._tokens(variables, ids, kind)  # [B, L]
+        table = variables["params"][table_name]
+        lstm = variables["params"][lstm_name]
+        B = toks.shape[0]
+        if ctx is not None:
+            mesh, axis = ctx
+            A = int(mesh.shape[axis])
+            # a 2-D (unstacked, global-layout) plan cannot be consumed
+            # per-shard — fall back to the global path for that call
+            stacked_ok = plan is None or plan["pos"].ndim == 3
+            if A > 1 and B % A == 0 and stacked_ok:
+                from jax.sharding import PartitionSpec as P
+
+                def region(table, lstm, toks_blk, plan_blk):
+                    if plan_blk is not None:
+                        plan_blk = {k: v[0] for k, v in plan_blk.items()}
+                    return self._lstm_states_core(table, lstm, toks_blk, plan_blk)
+
+                plan_spec = (
+                    None if plan is None
+                    else jax.tree_util.tree_map(lambda _: P(axis), plan)
+                )
+                return jax.shard_map(
+                    region,
+                    mesh=mesh,
+                    in_specs=(
+                        jax.tree_util.tree_map(lambda _: P(), table),
+                        jax.tree_util.tree_map(lambda _: P(), lstm),
+                        P(axis),
+                        plan_spec,
+                    ),
+                    out_specs=P(axis),
+                    # the recurrence scan's zero carry is typed unvarying
+                    # while the body makes it varying over the region axis;
+                    # skip the vma analysis (the spec-driven AD transpose —
+                    # psum of replicated inputs' cotangents — is unaffected,
+                    # pinned by the mesh equality test)
+                    check_vma=False,
+                )(table, lstm, toks, plan)
+        return self._lstm_states_core(table, lstm, toks, plan)
 
     def _finish(self, variables, x, bn_name, proj, dropout, train, rng):
         """Activation -> batchnorm -> (relation projection) -> dropout on

@@ -99,6 +99,22 @@ class KGEModel:
         candidate axis shards over ``model`` instead)."""
         self._dp_cand_mesh = mesh
 
+    def set_mesh(self, mesh) -> None:
+        """Register the device mesh for mesh-aware encode regions.
+
+        Sequence embedders (LSTM) run their row-encode core inside
+        ``shard_map`` regions when a mesh is set: the in-jit global length
+        sort and the Pallas recurrence kernels do not partition under
+        GSPMD (the sort is a global permutation; custom calls replicate),
+        so without regions every device encodes the FULL row set — per-
+        shard HLO evidence in ``tools/scaling_model.py --hlo-sweep``.  With
+        a mesh set, candidate rows shard over the ``model`` axis (or
+        ``data`` on pure-DP meshes, composing with
+        :meth:`set_dp_candidate_sharding`) and query/relation rows over
+        ``data``; the single-pass candidate+query pair fusion is skipped —
+        the two row sets live on different mesh axes."""
+        self._mesh = mesh
+
     # ------------------------------------------------------------------ fwd
 
     def _relation_for_query(self, r: jax.Array) -> jax.Array:
@@ -194,29 +210,54 @@ class KGEModel:
         if rng is not None:
             r_cand, r_q = jax.random.split(rng)
         dp_mesh = getattr(self, "_dp_cand_mesh", None)
-        if dp_mesh is not None and cand_emb is None and cand_ids is not None:
-            # pure-DP candidate-encode sharding (see set_dp_candidate_sharding):
-            # skip the single-chip pair fusion so the candidate encode is its
-            # own GSPMD region — ids pinned over `data`, [N, d] result pinned
-            # replicated (XLA inserts the all-gather).  rng streams are
-            # identical to the pair path by construction
+        mesh = getattr(self, "_mesh", None) or dp_mesh
+        if mesh is not None and cand_emb is None and cand_ids is not None:
+            # mesh-mode split encodes (see set_mesh / set_dp_candidate_sharding):
+            # skip the single-chip pair fusion so each encode is its own
+            # region — candidate ids pinned over their axis (`model`, or
+            # `data` on pure-DP meshes, where the [N, d] result is then
+            # pinned replicated and XLA inserts the all-gather); sequence
+            # embedders additionally run each region's row core inside
+            # shard_map (embedders._lstm_states) so the length sort and the
+            # recurrence kernels stay per-shard.  rng streams are identical
+            # to the pair path by construction
             # (embedders.encode_entity_pair docstring).
             from jax.sharding import NamedSharding, PartitionSpec
 
-            from open_knowledge_graph_embeddings_tpu.parallel.mesh import DATA_AXIS
+            from open_knowledge_graph_embeddings_tpu.parallel.mesh import (
+                DATA_AXIS,
+                MODEL_AXIS,
+            )
 
+            cand_axis = (
+                MODEL_AXIS if dict(mesh.shape).get(MODEL_AXIS, 1) > 1 else DATA_AXIS
+            )
             wsc = jax.lax.with_sharding_constraint
+            set_ctx = getattr(self.embedder, "set_row_shard_ctx", None)
             cand_sharded = wsc(
-                cand_ids, NamedSharding(dp_mesh, PartitionSpec(DATA_AXIS))
+                cand_ids, NamedSharding(mesh, PartitionSpec(cand_axis))
             )
-            cand_emb, state, reg_c = self.encode_candidates(
-                variables, cand_sharded, train=train, rng=r_cand
-            )
-            cand_emb = wsc(cand_emb, NamedSharding(dp_mesh, PartitionSpec()))
+            if set_ctx:
+                set_ctx(mesh, cand_axis, plan_key="cand_token_grad_plan")
+            try:
+                cand_emb, state, reg_c = self.encode_candidates(
+                    variables, cand_sharded, train=train, rng=r_cand
+                )
+            finally:
+                if set_ctx:
+                    set_ctx(None, None)
+            if cand_axis == DATA_AXIS:
+                cand_emb = wsc(cand_emb, NamedSharding(mesh, PartitionSpec()))
             variables = {**variables, "state": state}
-            q, state, reg_q = self.queries(
-                variables, ent_ids, rel_ids, is_sp, train=train, rng=r_q
-            )
+            if set_ctx:
+                set_ctx(mesh, DATA_AXIS)
+            try:
+                q, state, reg_q = self.queries(
+                    variables, ent_ids, rel_ids, is_sp, train=train, rng=r_q
+                )
+            finally:
+                if set_ctx:
+                    set_ctx(None, None)
             return q, cand_emb, state, reg + reg_c + reg_q
         if (
             cand_emb is None

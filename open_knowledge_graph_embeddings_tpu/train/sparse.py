@@ -195,6 +195,7 @@ class SparsePlanBuilder:
         min_rows_ratio: float = 12.0,
         layout: Optional[str] = None,
         grad_plan: bool = True,
+        mesh=None,
     ):
         """``min_rows_ratio``: a table is only sparsified for a batch when
         its height exceeds ``ratio x touched-rows`` — below that the dense
@@ -251,6 +252,13 @@ class SparsePlanBuilder:
         from open_knowledge_graph_embeddings_tpu.models.embedders import LSTMEmbedder
 
         self.grad_plan = bool(grad_plan) and isinstance(embedder, LSTMEmbedder)
+        #: device mesh (or None).  With a mesh the model splits the
+        #: candidate / query encodes into shard_map regions
+        #: (models/model.py set_mesh), so plans are built PER SHARD over
+        #: each region's local row block and stacked [A, S, K] — separate
+        #: "cand" and "entity" (query) plans replace the single
+        #: concatenated pair-encode plan.
+        self.mesh = mesh
         if entity_sparse and not self.tables:
             raise ValueError(f"no sparse tables for embedder {type(embedder).__name__}")
 
@@ -346,6 +354,27 @@ class SparsePlanBuilder:
         if not self.grad_plan:
             return
         toks = d[f"sparse/buffers/{kind}_token_ids"]
+        height = len(d[f"sparse/{table}/uids"])
+        if self.mesh is not None:
+            from open_knowledge_graph_embeddings_tpu.parallel.mesh import (
+                DATA_AXIS,
+                MODEL_AXIS,
+            )
+
+            shape = dict(self.mesh.shape)
+            data_n = shape.get(DATA_AXIS, 1)
+            model_n = shape.get(MODEL_AXIS, 1)
+            cand_n = model_n if model_n > 1 else data_n
+            if kind == "entity":
+                # mesh mode splits the pair encode: candidate rows go
+                # through their own region (sharded over cand_n), query
+                # rows over data_n — separate per-shard plans for each
+                B = len(d["ent_ids"])
+                self._emit_sharded_plan(d, "cand", toks[B:], cand_n, height)
+                self._emit_sharded_plan(d, "entity", toks[:B], data_n, height)
+            else:
+                self._emit_sharded_plan(d, kind, toks, data_n, height)
+            return
         if kind == "entity":
             # the model encodes candidates and query entities in ONE LSTM
             # pass with candidates FIRST (models/model.py
@@ -355,9 +384,42 @@ class SparsePlanBuilder:
             # plan-vs-scatter gradient equality test.
             B = len(d["ent_ids"])
             toks = np.concatenate([toks[B:], toks[:B]])
-        height = len(d[f"sparse/{table}/uids"])
         for k, v in build_token_grad_plan(toks, height).items():
             d[f"sparse/plan/{kind}_token/{k}"] = v
+
+    def _emit_sharded_plan(
+        self, d: Dict[str, Any], key: str, toks: np.ndarray, A: int, height: int
+    ) -> None:
+        """Per-shard plans for a mesh-region row block: GSPMD splits dim 0
+        into ``A`` equal contiguous blocks, each shard sorts ITS block
+        locally inside shard_map, so shard i's plan is built over rows
+        [i*R/A, (i+1)*R/A) and the plans stack to [A, S, K] (common S, pad
+        slots point uid out of range -> dropped).  Undivisible row counts
+        fall back to one global (unstacked) plan — the embedder then skips
+        the region for that call."""
+        R = len(toks)
+        if A <= 1 or R % A != 0:
+            for k, v in build_token_grad_plan(toks, height).items():
+                d[f"sparse/plan/{key}_token/{k}"] = v
+            return
+        blk = R // A
+        plans = [
+            build_token_grad_plan(toks[i * blk : (i + 1) * blk], height)
+            for i in range(A)
+        ]
+        S = max(p["pos"].shape[0] for p in plans)
+        K = plans[0]["pos"].shape[1]
+        pos = np.zeros((A, S, K), np.int32)
+        valid = np.zeros((A, S, K), bool)
+        uid = np.full((A, S), height, np.int32)
+        for i, p in enumerate(plans):
+            s = p["pos"].shape[0]
+            pos[i, :s] = p["pos"]
+            valid[i, :s] = p["valid"]
+            uid[i, :s] = p["uid"]
+        d[f"sparse/plan/{key}_token/pos"] = pos
+        d[f"sparse/plan/{key}_token/valid"] = valid
+        d[f"sparse/plan/{key}_token/uid"] = uid
 
     # ------------------------------------------------ accumulation windows
 
@@ -544,7 +606,7 @@ def _batch_buffers(variables, batch) -> Dict[str, Any]:
         key = f"sparse/buffers/{bk}"
         if key in batch:
             buffers[bk] = batch[key]
-    for kind in ("entity", "relation"):
+    for kind in ("entity", "relation", "cand"):
         pk = f"sparse/plan/{kind}_token/pos"
         if pk in batch:
             buffers[f"{kind}_token_grad_plan"] = {

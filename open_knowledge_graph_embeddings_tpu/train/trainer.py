@@ -109,6 +109,10 @@ class Trainer:
             self.variables = jax.device_put(
                 self.variables, variables_shardings(self.variables, self.mesh)
             )
+            # mesh-aware encode regions: split candidate/query encodes, run
+            # sequence-encoder cores in shard_map so the per-shard work
+            # actually shrinks with the mesh (models/model.py set_mesh)
+            model.set_mesh(self.mesh)
             logger.info("device mesh: %s", dict(self.mesh.shape))
 
         self.loss_type = args.get("experiment_settings", {}).get("loss", "bce")
@@ -153,6 +157,7 @@ class Trainer:
                     # The sparse_grad_plan config key can force it off when
                     # the host-side plan build is the bottleneck.
                     grad_plan=bool(args.get("sparse_grad_plan", True)),
+                    mesh=self.mesh,
                 )
                 logger.info(
                     "row-sparse updates for tables %s (entity_sparse=%s)",

@@ -333,16 +333,32 @@ def test_sparse_grad_plan_on_mesh():
         sparse_step,
         SparsePlanBuilder(model.embedder, True, min_rows_ratio=0.0, grad_plan=True),
     )
+    # mesh-mode: split-encode shard_map regions + PER-SHARD plans (the
+    # trainer's production mesh configuration, models/model.py set_mesh) —
+    # every shard sorts and encodes only its row block
+    # (tools/scaling_model.py --hlo-sweep pins the per-shard HLO shrink)
+    model.set_mesh(mesh)
+    try:
+        mesh_mode, loss_mm = run(
+            make_sparse_train_step(model, regimes, variables["params"], entity_sparse=True),
+            SparsePlanBuilder(model.embedder, True, min_rows_ratio=0.0,
+                              grad_plan=True, mesh=mesh),
+        )
+    finally:
+        model.set_mesh(None)
 
     assert abs(loss_d - loss_off) < 1e-3 and abs(loss_d - loss_on) < 1e-3
+    assert abs(loss_d - loss_mm) < 1e-3
     flat_d = dict(jax.tree_util.tree_flatten_with_path(dense)[0])
-    for other in (plan_off, plan_on):
+    for other, atol in ((plan_off, 1e-5), (plan_on, 1e-5), (mesh_mode, 1e-4)):
         flat_o = dict(jax.tree_util.tree_flatten_with_path(other)[0])
         for kp, leaf in flat_d.items():
             # atol floor: gather-sum slot order vs dense scatter order
-            # (see tests/test_sparse.py::test_sparse_matches_dense)
+            # (see tests/test_sparse.py::test_sparse_matches_dense); the
+            # per-shard regions additionally reorder the psum of the
+            # replicated inputs' cotangents
             np.testing.assert_allclose(
-                np.asarray(leaf), np.asarray(flat_o[kp]), rtol=2e-5, atol=1e-5,
+                np.asarray(leaf), np.asarray(flat_o[kp]), rtol=2e-5, atol=atol,
                 err_msg=str(kp),
             )
 

@@ -1,0 +1,316 @@
+"""Per-chip scaling model for the flagship step + partitioned-HLO sweep.
+
+Two modes, both emitting JSON (the RESULTS.md scaling tables are generated
+from this output rather than hand-computed):
+
+1. **Analytic model** (default): for a flagship-shaped config and a
+   ``data x model`` mesh, print per-chip FLOPs, HBM bytes and collective
+   bytes per step for every phase of the sparse train step (candidate+
+   query encode, relation encode, score/BCE, gather-sum backward, table
+   updates, gradient reductions), a rooflined per-phase time estimate
+   (chip peaks from bench.CHIP_PEAKS, ICI bus bandwidth configurable) and
+   the implied strong-scaling efficiency vs 1 chip.
+
+       python tools/scaling_model.py --data 4 --model 2
+
+2. **HLO sweep** (``--hlo-sweep``, needs the CPU mesh): compile the SPARSE
+   PLANNED step (gather-sum grad plan active — the production flagship
+   path) on pure-DP meshes D in {1, 2, 4, 8} and read the per-shard
+   candidate-encode row counts off the partitioned HLO, asserting they
+   shrink as N/D:
+
+       XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+           python tools/scaling_model.py --hlo-sweep
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+# ------------------------------------------------------------ analytic model
+
+
+def analytic_model(args) -> dict:
+    import bench
+
+    B, N, d, L = args.batch, args.cands, args.d, args.max_len
+    H = d
+    Dp, Mp = args.data, args.model
+    chips = Dp * Mp
+    # executed-token statistics from the Zipf flagship batch (bench.py
+    # build_batch measurements; override for other datasets)
+    ent_rows = B + N  # queries + candidates encoded in one LSTM pass
+    ent_tok = args.ent_tokens_executed
+    rel_tok = args.rel_tokens_executed
+    U_ent, U_rel = args.u_ent, args.u_rel  # touched token rows per table
+
+    f32, bf16 = 4, 2
+    lstm_step_flops = 2 * (d * 4 * H + H * 4 * H)  # x/h projections per token
+
+    # Candidate rows shard over the model axis (pure-DP: over data); query
+    # and relation rows over data; LSTM/score FLOPs split accordingly.
+    cand_shards = Mp if Mp > 1 else Dp
+    enc_rows_per_chip = B / Dp + N / cand_shards
+    enc_tok_per_chip = ent_tok * enc_rows_per_chip / ent_rows
+
+    phases = {}
+
+    def phase(name, flops, hbm, coll=0.0, note=""):
+        phases[name] = {
+            "flops_per_chip": round(flops),
+            "hbm_bytes_per_chip": round(hbm),
+            "collective_bytes_per_chip": round(coll),
+            "note": note,
+        }
+
+    phase(
+        "entity_encode_fwd+bwd",
+        3 * lstm_step_flops * enc_tok_per_chip,
+        # emb gather write + lstm hs/cs residuals + demb (bf16)
+        (3 * enc_tok_per_chip * d * bf16) * 2.5,
+        note=f"{enc_rows_per_chip:.0f} rows/chip of {ent_rows} (cand axis over "
+        f"{'model' if Mp > 1 else 'data'})",
+    )
+    phase(
+        "relation_encode_fwd+bwd",
+        3 * lstm_step_flops * rel_tok / Dp,
+        (3 * rel_tok / Dp * d * bf16) * 2.5,
+        note=f"{B / Dp:.0f} rows/chip",
+    )
+    # score fwd + dq + dcand matmuls; [B/D, N/M] block per chip
+    score_flops = 3 * 2 * (B / Dp) * (N / Mp) * d
+    phase(
+        "score_bce",
+        score_flops,
+        (B / Dp) * (N / Mp) * f32 * 2,  # score block + BCE pass (fused)
+        note=f"[{B // Dp}, {N // Mp}] block/chip",
+    )
+    # backward collectives: dq psum over model, dcand psum over data, and
+    # the dense-parameter (LSTM weights + BN) all-reduce over all chips
+    lstm_params = 2 * (d * 4 * H + H * 4 * H + 8 * H)
+    dense_coll = lstm_params * f32 * (2 * (chips - 1) / chips)
+    dq_coll = (B / Dp) * d * f32 * (2 * (Mp - 1) / Mp)
+    dcand_coll = (N / cand_shards) * d * f32 * (2 * (Dp - 1) / Dp if Mp == 1 else 2 * (Dp - 1) / Dp)
+    phase(
+        "grad_reductions",
+        0,
+        0,
+        coll=dense_coll + dq_coll + dcand_coll,
+        note="LSTM/BN all-reduce + dq/dcand partial-sum exchanges",
+    )
+    # token-table row grads: [U, d] f32 contributions from every chip's rows
+    token_coll = (U_ent + U_rel) * d * f32 * (2 * (chips - 1) / chips)
+    phase(
+        "token_table_grads+updates",
+        0,
+        (U_ent + U_rel) * d * f32 * 4,  # RMW of param+acc rows
+        coll=token_coll,
+        note=f"U={U_ent}+{U_rel} touched rows; updates row-issue-bound "
+        "(~0.9 ms measured at 1 chip — see RESULTS round-5 lever audit)",
+    )
+
+    kind, (peak_tf, peak_gbs) = bench.chip_peaks()
+    if peak_tf is None:
+        kind, peak_tf, peak_gbs = "v5e (assumed)", 197.0, 819.0
+    ici_gbs = args.ici_gbs
+
+    def phase_time(p):
+        t_comp = p["flops_per_chip"] / (peak_tf * 1e12 * args.mfu)
+        t_hbm = p["hbm_bytes_per_chip"] / (peak_gbs * 1e9)
+        t_coll = p["collective_bytes_per_chip"] / (ici_gbs * 1e9)
+        return max(t_comp, t_hbm) + t_coll
+
+    times = {k: phase_time(p) for k, p in phases.items()}
+    # fixed per-step overhead that does not shard (sorts, converts, BN,
+    # dropout, dispatch) — taken from the measured 1-chip decomposition
+    t_fixed = args.fixed_overhead_ms / 1e3
+    t_step = sum(times.values()) + t_fixed
+
+    # 1-chip reference through the same model
+    one = dict(args.__dict__)
+    one_args = argparse.Namespace(**one)
+    one_args.data, one_args.model = 1, 1
+    if chips > 1:
+        ref = analytic_model(one_args)
+        t1 = ref["modeled_step_ms"] / 1e3
+        eff = t1 / (t_step * chips)
+    else:
+        t1, eff = t_step, 1.0
+
+    return {
+        "mesh": {"data": Dp, "model": Mp, "chips": chips},
+        "chip": kind,
+        "peaks": {"tflops": peak_tf, "hbm_gbs": peak_gbs, "ici_gbs": ici_gbs},
+        "phases": phases,
+        "phase_ms": {k: round(v * 1e3, 3) for k, v in times.items()},
+        "fixed_overhead_ms": args.fixed_overhead_ms,
+        "modeled_step_ms": round(t_step * 1e3, 3),
+        "modeled_items_per_sec": round(args.positives / t_step),
+        "strong_scaling_efficiency_vs_1chip": round(eff, 3),
+    }
+
+
+# --------------------------------------------------------------- HLO sweep
+
+
+def hlo_sweep() -> dict:
+    """Compile the sparse PLANNED flagship-path step on pure-DP CPU meshes
+    and read per-shard candidate-encode row counts off the partitioned HLO."""
+    import jax
+
+    # the container's sitecustomize force-registers the axon TPU backend and
+    # the JAX_PLATFORMS env var alone is not honored — always pin cpu here
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from open_knowledge_graph_embeddings_tpu.data.batching import Batch
+    from open_knowledge_graph_embeddings_tpu.models.model import build_model
+    from open_knowledge_graph_embeddings_tpu.parallel import (
+        make_mesh,
+        opt_state_shardings,
+        train_batch_shardings,
+        variables_shardings,
+    )
+    from open_knowledge_graph_embeddings_tpu.train.optim import OptimizerRegimes
+    from open_knowledge_graph_embeddings_tpu.train.sparse import (
+        SparsePlanBuilder,
+        make_sparse_train_step,
+    )
+    from __graft_entry__ import _synthetic_meta
+
+    rng = np.random.default_rng(0)
+    meta = _synthetic_meta(entities=512, relations=64, ent_tokens=256, rel_tokens=64, max_len=6)
+    B, N = 32, 256
+    model = build_model(
+        "LSTMComplexRelationModel", meta, entity_slot_size=32, init_std=0.1,
+        sparse=True,
+    )
+    variables = model.init(jax.random.key(0))
+    regimes = OptimizerRegimes({"optimizer": "Adagrad", "lr": 0.1})
+    regimes.update(1, 0)
+    opt_state = regimes.init_state(variables["params"])
+    hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
+
+    raw = Batch(
+        ent_ids=rng.integers(2, meta.entities_size, B).astype(np.int32),
+        rel_ids=rng.integers(2, meta.relations_size, B).astype(np.int32),
+        is_sp=(np.arange(B) % 2 == 0), row_valid=np.ones(B, bool), num_rows=B,
+        candidate_ids=rng.choice(
+            np.arange(2, meta.entities_size, dtype=np.int32), N, replace=False
+        ),
+        col_valid=np.ones(N, bool), num_cols=N, cand_offset=2,
+        pos_rows=np.arange(B, dtype=np.int32),
+        pos_cols=rng.integers(0, N, B).astype(np.int32),
+        normalizer_loss=float(B * N),
+    )
+    # host snapshots: the step donates its inputs, so each mesh iteration
+    # rebuilds fresh device placements
+    host_vars = jax.tree_util.tree_map(np.asarray, variables)
+    host_opt = jax.tree_util.tree_map(np.asarray, opt_state)
+    planner = SparsePlanBuilder(model.embedder, entity_sparse=True, min_rows_ratio=0.0)
+    planned = planner(raw)
+    assert any(k.startswith("sparse/plan/") for k in planned), "grad plan inactive"
+    rows_total = planned["sparse/buffers/entity_token_ids"].shape[0]  # B + N
+
+    out = {"B": B, "N": N, "encode_rows_total": int(rows_total), "sweep": []}
+    losses = {}
+    n_dev = len(jax.devices())
+    for D in (1, 2, 4, 8):
+        if D > n_dev:
+            break
+        mesh = make_mesh(data=D, model=1)
+        # mesh-aware encode regions + per-shard plans — the production
+        # mesh configuration (trainer wires the same pair)
+        model.set_mesh(mesh if D > 1 else None)
+        mesh_planner = SparsePlanBuilder(
+            model.embedder, entity_sparse=True, min_rows_ratio=0.0,
+            mesh=mesh if D > 1 else None,
+        )
+        planned_d = mesh_planner(raw)
+        try:
+            var_sh = variables_shardings(variables, mesh)
+            vs = jax.device_put(jax.tree_util.tree_map(jnp.asarray, host_vars), var_sh)
+            os_ = jax.device_put(
+                jax.tree_util.tree_map(jnp.asarray, host_opt),
+                opt_state_shardings(opt_state, var_sh, mesh),
+            )
+            bsh = train_batch_shardings(planned_d, mesh)
+            bs = {k: jax.device_put(np.asarray(v), bsh[k]) for k, v in planned_d.items()}
+            step = make_sparse_train_step(model, regimes, variables["params"], entity_sparse=True)
+            compiled = step.lower(vs, os_, hp, bs, jax.random.key(3)).compile()
+            hlo = compiled.as_text()
+            _, _, st = step(vs, os_, hp, bs, jax.random.key(3))
+            losses[D] = float(st["loss_sum"])
+        finally:
+            model.set_mesh(None)
+        # the candidate+query LSTM input projection [L, rows, 4H]: find the
+        # per-shard row count of the largest such tensor in the module
+        rows = sorted(
+            {int(m) for m in re.findall(r"f32\[6,(\d+),128\]", hlo)}, reverse=True
+        )
+        rows2d = sorted(
+            {int(m) for m in re.findall(r"f32\[(\d+),128\]", hlo)}, reverse=True
+        )
+        out["sweep"].append({
+            "data_parallel": D,
+            "encode_xproj_rows_per_shard": rows[0] if rows else None,
+            "all_xproj_row_counts": rows,
+            "all_2d_row_counts_x128": rows2d[:8],
+        })
+    # losses identical across meshes (same global program)
+    base = losses[1]
+    for D, l in losses.items():
+        assert abs(l - base) < 1e-3 * abs(base), (D, l, base)
+    out["loss_equal_across_meshes"] = True
+    # per-shard encode rows must shrink ~ as 1/D (the candidate axis is
+    # N/D; the query axis B/D — together (B+N)/D up to sort padding)
+    r1 = out["sweep"][0]["encode_xproj_rows_per_shard"]
+    shrink = all(
+        row["encode_xproj_rows_per_shard"] is not None
+        and row["encode_xproj_rows_per_shard"]
+        <= -(-r1 // row["data_parallel"]) * 1.5
+        for row in out["sweep"][1:]
+    )
+    out["rows_shrink_as_inverse_D"] = shrink
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hlo-sweep", action="store_true")
+    ap.add_argument("--data", type=int, default=1)
+    ap.add_argument("--model", type=int, default=1)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--cands", type=int, default=4096)
+    ap.add_argument("--d", type=int, default=512)
+    ap.add_argument("--max-len", type=int, default=10)
+    ap.add_argument("--ent-tokens-executed", type=int, default=37071)
+    ap.add_argument("--rel-tokens-executed", type=int, default=18245)
+    ap.add_argument("--u-ent", type=int, default=4096)
+    ap.add_argument("--u-rel", type=int, default=2048)
+    ap.add_argument("--positives", type=int, default=4381)  # bench P_real
+    ap.add_argument("--ici-gbs", type=float, default=90.0)
+    ap.add_argument("--mfu", type=float, default=0.6,
+                    help="achievable fraction of peak on the LSTM/matmul phases")
+    ap.add_argument("--fixed-overhead-ms", type=float, default=2.6,
+                    help="non-sharding per-step work (sort/convert/BN/dropout/"
+                    "dispatch), from the measured 1-chip decomposition")
+    args = ap.parse_args()
+    if args.hlo_sweep:
+        print(json.dumps(hlo_sweep(), indent=1))
+    else:
+        print(json.dumps(analytic_model(args), indent=1))
+
+
+if __name__ == "__main__":
+    main()
