@@ -108,16 +108,28 @@ def analytic_model(args) -> dict:
         coll=dense_coll + dq_coll + dcand_coll,
         note="LSTM/BN all-reduce + dq/dcand partial-sum exchanges",
     )
-    # token-table row grads: [U, d] f32 contributions from every chip's rows
+    # token-table row grads: [U, d] f32 contributions from every chip's
+    # rows; the UPDATE is scatter-issue-bound (measured, not rooflined:
+    # RESULTS round-5 lever audit).  The entity token table is row-sharded
+    # over `model` (parallel/sharding.py), so its update partitions /M;
+    # the relation table is replicated (identical update on every chip).
     token_coll = (U_ent + U_rel) * d * f32 * (2 * (chips - 1) / chips)
+    ent_frac = U_ent / (U_ent + U_rel)
+    update_ms = args.update_ms * (
+        ent_frac / (Mp if Mp > 1 else 1) + (1 - ent_frac)
+    )
     phase(
         "token_table_grads+updates",
         0,
-        (U_ent + U_rel) * d * f32 * 4,  # RMW of param+acc rows
+        0,
         coll=token_coll,
-        note=f"U={U_ent}+{U_rel} touched rows; updates row-issue-bound "
-        "(~0.9 ms measured at 1 chip — see RESULTS round-5 lever audit)",
+        note=f"U={U_ent}+{U_rel} touched rows; measured scatter-issue cost",
     )
+    phases["token_table_grads+updates"]["measured_ms"] = round(update_ms, 3)
+    # row-elementwise tail (BN, dropout, sorts, gathers) shards with rows
+    phase("elementwise_tail", 0, 0,
+          note=f"measured {args.elementwise_ms} ms at 1 chip, shards over data")
+    phases["elementwise_tail"]["measured_ms"] = round(args.elementwise_ms / Dp, 3)
 
     kind, (peak_tf, peak_gbs) = bench.chip_peaks()
     if peak_tf is None:
@@ -128,7 +140,7 @@ def analytic_model(args) -> dict:
         t_comp = p["flops_per_chip"] / (peak_tf * 1e12 * args.mfu)
         t_hbm = p["hbm_bytes_per_chip"] / (peak_gbs * 1e9)
         t_coll = p["collective_bytes_per_chip"] / (ici_gbs * 1e9)
-        return max(t_comp, t_hbm) + t_coll
+        return max(t_comp, t_hbm, p.get("measured_ms", 0.0) / 1e3) + t_coll
 
     times = {k: phase_time(p) for k, p in phases.items()}
     # fixed per-step overhead that does not shard (sorts, converts, BN,
@@ -288,6 +300,11 @@ def hlo_sweep() -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--hlo-sweep", action="store_true")
+    ap.add_argument("--weak", action="store_true",
+                    help="weak scaling: global batch (and candidate set) "
+                    "grow with the data axis, per-chip rows stay constant — "
+                    "the production deployment pattern; throughput reported "
+                    "for the scaled global batch")
     ap.add_argument("--data", type=int, default=1)
     ap.add_argument("--model", type=int, default=1)
     ap.add_argument("--batch", type=int, default=4096)
@@ -302,14 +319,41 @@ def main():
     ap.add_argument("--ici-gbs", type=float, default=90.0)
     ap.add_argument("--mfu", type=float, default=0.6,
                     help="achievable fraction of peak on the LSTM/matmul phases")
-    ap.add_argument("--fixed-overhead-ms", type=float, default=2.6,
-                    help="non-sharding per-step work (sort/convert/BN/dropout/"
-                    "dispatch), from the measured 1-chip decomposition")
+    ap.add_argument("--update-ms", type=float, default=0.9,
+                    help="measured 1-chip cost of the 2-table row-scatter "
+                    "update pair (scatter-issue-bound)")
+    ap.add_argument("--elementwise-ms", type=float, default=1.5,
+                    help="measured 1-chip BN/dropout/sort/gather tail "
+                    "(row-elementwise, shards over data)")
+    ap.add_argument("--fixed-overhead-ms", type=float, default=0.4,
+                    help="genuinely non-sharding residual (dispatch, scalar "
+                    "work); excludes the modeled phases")
     args = ap.parse_args()
     if args.hlo_sweep:
         print(json.dumps(hlo_sweep(), indent=1))
-    else:
-        print(json.dumps(analytic_model(args), indent=1))
+        return
+    if args.weak:
+        args.batch *= args.data
+        args.cands *= args.data
+        args.positives *= args.data
+        # executed-token stats are per 1x batch; rows grew with data
+        args.ent_tokens_executed *= args.data
+        args.rel_tokens_executed *= args.data
+    out = analytic_model(args)
+    if args.weak and args.data * args.model > 1:
+        # weak efficiency: per-chip time vs the 1-chip step on the 1x batch
+        base = dict(args.__dict__)
+        base.update(data=1, model=1,
+                    batch=args.batch // args.data,
+                    cands=args.cands // args.data,
+                    positives=args.positives // args.data,
+                    ent_tokens_executed=args.ent_tokens_executed // args.data,
+                    rel_tokens_executed=args.rel_tokens_executed // args.data)
+        t1 = analytic_model(argparse.Namespace(**base))["modeled_step_ms"]
+        out["weak_scaling_efficiency_vs_1chip"] = round(
+            t1 / out["modeled_step_ms"], 3)
+        del out["strong_scaling_efficiency_vs_1chip"]
+    print(json.dumps(out, indent=1))
 
 
 if __name__ == "__main__":
