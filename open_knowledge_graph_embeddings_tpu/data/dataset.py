@@ -477,10 +477,12 @@ class OneToNMentionRelationDataset:
         # accepted for config compatibility; tokens are always available via meta
         replace_entities_by_tokens: bool = False,
         replace_relations_by_tokens: bool = False,
+        copy_data_to_dev_shm: bool = False,
         device=None,
     ):
         self.dataset_dir = dataset_dir
         self.input_file_name = input_file
+        self.copy_data_to_dev_shm = copy_data_to_dev_shm
         self.is_training_data = is_training_data
         self.batch_size = batch_size
         self.batch_size_for_backward = batch_size_for_backward
@@ -509,7 +511,7 @@ class OneToNMentionRelationDataset:
                 row_has_dup=z["row_has_dup"] if "row_has_dup" in z.files else None,
             )
         triples, s_off, s_val, o_off, o_val = read_triple_file(
-            os.path.join(self.dataset_dir, self.input_file_name)
+            self._staged_input_path()
         )
         sp = _group_direction(triples, o_off, o_val, (0, 1), SLOT_SP)
         po = _group_direction(triples, s_off, s_val, (1, 2), SLOT_PO)
@@ -524,6 +526,29 @@ class OneToNMentionRelationDataset:
             mentions=rec.mentions, row_has_dup=rec.row_has_dup,
         )
         return rec
+
+    def _staged_input_path(self) -> str:
+        """Path the triple parser reads.  ``copy_data_to_dev_shm`` stages
+        the input file to tmpfs first (reference parity:
+        openkge/dataset.py:111-117) — on a slow network filesystem the
+        OLPBench 30M-line first-run parse then streams from RAM.  Cached
+        runs (the npz records) never reach this method."""
+        src = os.path.join(self.dataset_dir, self.input_file_name)
+        if not self.copy_data_to_dev_shm or not os.path.isdir("/dev/shm"):
+            return src
+        import hashlib
+        import shutil
+
+        tag = hashlib.sha1(os.path.abspath(src).encode()).hexdigest()[:12]
+        dst = os.path.join("/dev/shm", f"oket-{tag}-{self.input_file_name}")
+        if (
+            not os.path.exists(dst)
+            or os.path.getsize(dst) != os.path.getsize(src)
+        ):
+            tmp = dst + f".tmp{os.getpid()}"
+            shutil.copyfile(src, tmp)
+            os.replace(tmp, dst)  # atomic: concurrent ranks race benignly
+        return dst
 
     def __len__(self) -> int:
         return len(self.records)

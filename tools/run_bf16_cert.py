@@ -25,12 +25,13 @@ sys.path.insert(0, REPO)
 CFG = os.path.join(REPO, "configs", "olpbench", "synth-olpbench-2m47-demo.yaml")
 
 
-def run_one(dtype: str, outdir: str, epochs: int):
+def run_one(dtype: str, outdir: str, epochs: int, cfg: str = CFG,
+            eval_dtype: str = "bfloat16"):
     from open_knowledge_graph_embeddings_tpu.cli.train import main as cli_main
     from open_knowledge_graph_embeddings_tpu.config.options import load_config
 
     exp = os.path.join(outdir, f"cert-{dtype}")
-    args = load_config(CFG, [])
+    args = load_config(cfg, [])
     args["dataset_dir"] = os.path.join(REPO, args["dataset_dir"])
     args.update(
         experiment_dir=exp,
@@ -66,15 +67,17 @@ def run_one(dtype: str, outdir: str, epochs: int):
 
     gc.collect()
     scores_csv = os.path.join(outdir, "cert_scores.csv")
-    args2 = load_config(CFG, [])
+    args2 = load_config(cfg, [])
     args2["dataset_dir"] = os.path.join(REPO, args2["dataset_dir"])
     args2.update(
         experiment_dir=exp + "-test",
-        # both trained parameter sets are evaluated under the IDENTICAL
-        # bf16 eval procedure — the certification isolates the TRAINING
-        # dtype, and the f32 candidate cache (2 x 5 GB with its slice)
-        # does not fit the 16 GB chip next to the model
-        model_config={**args2["model_config"], "dtype": "bfloat16"},
+        # both trained parameter sets are evaluated under ONE identical
+        # eval procedure — the certification isolates the TRAINING dtype.
+        # At the 2.47M shape only bf16 eval fits the 16 GB chip (the f32
+        # candidate cache is 2 x 5 GB with its slice); the reduced-shape
+        # config (synth-olpbench-600k-cert.yaml) certifies eval-dtype
+        # numerics with --eval-dtype float32
+        model_config={**args2["model_config"], "dtype": eval_dtype},
         resume_load_args=False,
         evaluate=True, evaluate_on_validation=False, resume=ck,
         evaluate_scores_file=scores_csv,
@@ -93,11 +96,14 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("outdir")
     ap.add_argument("--epochs", type=int, default=2)
+    ap.add_argument("--config", default=CFG)
+    ap.add_argument("--eval-dtype", default="bfloat16",
+                    choices=("bfloat16", "float32"))
     ap.add_argument("--one", help="(internal) run a single dtype in-process")
     ns = ap.parse_args(argv)
     os.makedirs(ns.outdir, exist_ok=True)
     if ns.one:
-        result = run_one(ns.one, ns.outdir, ns.epochs)
+        result = run_one(ns.one, ns.outdir, ns.epochs, ns.config, ns.eval_dtype)
         with open(os.path.join(ns.outdir, f"result-{ns.one}.json"), "w") as f:
             json.dump(result, f)
         print(json.dumps(result), flush=True)
@@ -111,7 +117,8 @@ def main(argv=None):
     for d in ("float32", "bfloat16"):
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), ns.outdir,
-             "--epochs", str(ns.epochs), "--one", d],
+             "--epochs", str(ns.epochs), "--config", ns.config,
+             "--eval-dtype", ns.eval_dtype, "--one", d],
             check=True, cwd=REPO,
         )
         with open(os.path.join(ns.outdir, f"result-{d}.json")) as f:
