@@ -369,7 +369,22 @@ class KGEModel:
                 )
                 return emb
 
-            out = jax.lax.map(enc, ids)
+            # per-shard encode regions on meshes: without the shard_map ctx
+            # the per-chunk encode REPLICATES on every device (global length
+            # sort / custom-call — see set_mesh); with it each model shard
+            # encodes chunk_size / M rows
+            set_ctx = getattr(self.embedder, "set_row_shard_ctx", None)
+            if mesh is not None and set_ctx is not None:
+                from open_knowledge_graph_embeddings_tpu.parallel.mesh import (
+                    MODEL_AXIS as _MA,
+                )
+
+                set_ctx(mesh, _MA)
+            try:
+                out = jax.lax.map(enc, ids)
+            finally:
+                if mesh is not None and set_ctx is not None:
+                    set_ctx(None, None)
             return out.reshape(E_pad, -1)[:E]
 
         if mesh is None:
