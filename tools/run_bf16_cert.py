@@ -26,7 +26,7 @@ CFG = os.path.join(REPO, "configs", "olpbench", "synth-olpbench-2m47-demo.yaml")
 
 
 def run_one(dtype: str, outdir: str, epochs: int, cfg: str = CFG,
-            eval_dtype: str = "bfloat16"):
+            eval_dtype: str = "bfloat16", seed: int = 0):
     from open_knowledge_graph_embeddings_tpu.cli.train import main as cli_main
     from open_knowledge_graph_embeddings_tpu.config.options import load_config
 
@@ -35,6 +35,7 @@ def run_one(dtype: str, outdir: str, epochs: int, cfg: str = CFG,
     args["dataset_dir"] = os.path.join(REPO, args["dataset_dir"])
     args.update(
         experiment_dir=exp,
+        seed=seed,
         epochs=epochs,
         model_config={**args["model_config"], "dtype": dtype},
         save_epoch_freq=-1,
@@ -99,11 +100,13 @@ def main(argv=None):
     ap.add_argument("--config", default=CFG)
     ap.add_argument("--eval-dtype", default="bfloat16",
                     choices=("bfloat16", "float32"))
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--one", help="(internal) run a single dtype in-process")
     ns = ap.parse_args(argv)
     os.makedirs(ns.outdir, exist_ok=True)
     if ns.one:
-        result = run_one(ns.one, ns.outdir, ns.epochs, ns.config, ns.eval_dtype)
+        result = run_one(ns.one, ns.outdir, ns.epochs, ns.config, ns.eval_dtype,
+                         ns.seed)
         with open(os.path.join(ns.outdir, f"result-{ns.one}.json"), "w") as f:
             json.dump(result, f)
         print(json.dumps(result), flush=True)
@@ -118,7 +121,7 @@ def main(argv=None):
         subprocess.run(
             [sys.executable, os.path.abspath(__file__), ns.outdir,
              "--epochs", str(ns.epochs), "--config", ns.config,
-             "--eval-dtype", ns.eval_dtype, "--one", d],
+             "--eval-dtype", ns.eval_dtype, "--seed", str(ns.seed), "--one", d],
             check=True, cwd=REPO,
         )
         with open(os.path.join(ns.outdir, f"result-{d}.json")) as f:
