@@ -49,6 +49,7 @@ from open_knowledge_graph_embeddings_tpu.train.step import (
     eval_batch_to_arrays,
     make_accum_steps,
     make_eval_step,
+    make_scanned_step,
     make_train_step,
     train_batch_to_arrays,
     unpack_eval_stats,
@@ -289,6 +290,32 @@ class Trainer:
                 self.accum_steps,
                 " (row-sparse union-row windows)" if self.sparse else "",
             )
+        # multi-step dispatch (train_scan_steps > 1): lax.scan K optimizer
+        # steps per device program to amortize the fixed per-dispatch round
+        # trip of remote-attached TPUs (see step.make_scanned_step).  The
+        # window must be semantics-neutral, so it is disabled when anything
+        # needs per-step host control: gradient accumulation (its window
+        # machinery already owns the step cadence), device meshes (batch
+        # placement uses per-leaf shardings without a window axis), or
+        # step-keyed optimizer phase triggers (a phase could switch inside
+        # a window).
+        self.scan_steps = max(1, int(args.get("train_scan_steps", 1) or 1))
+        if self.scan_steps > 1:
+            step_phases = any(
+                "step" in p for phases in self.regimes.regimes for p in phases
+            )
+            if self.accum_steps > 1 or self.mesh is not None or step_phases:
+                logger.info(
+                    "train_scan_steps=%d disabled (%s)",
+                    self.scan_steps,
+                    "gradient accumulation" if self.accum_steps > 1
+                    else "device mesh" if self.mesh is not None
+                    else "step-keyed optimizer phases",
+                )
+                self.scan_steps = 1
+            else:
+                logger.info("multi-step dispatch: %d steps/program", self.scan_steps)
+                self.train_step_scan = make_scanned_step(self.train_step, self.scan_steps)
 
     # ------------------------------------------------------------------ setup
 
@@ -316,6 +343,8 @@ class Trainer:
                 label_smoothing=self.label_smoothing,
                 grad_clip=self.grad_clip,
             )
+        if getattr(self, "scan_steps", 1) > 1:
+            self.train_step_scan = make_scanned_step(self.train_step, self.scan_steps)
         if self.sparse:
             from open_knowledge_graph_embeddings_tpu.train.sparse import (
                 make_sparse_accum_steps,
@@ -409,6 +438,13 @@ class Trainer:
         save_freq = self.args.get("save_freq") or -1
 
         n_batches = len(self.train_builder)
+        if n_batches == 0:
+            # without this the run() epoch loop spins forever: the epoch
+            # counter derives from training_steps, which never advances
+            raise ValueError(
+                "training builder produced 0 batches — check train_data_config "
+                "(input_file, batch_size) against the dataset"
+            )
         self.len_train_batches = max(n_batches, 1)
         profile_steps = int(self.args.get("profile_steps") or 0)
         # Device stats are fetched lazily in one stacked transfer at print /
@@ -420,12 +456,27 @@ class Trainer:
             nonlocal items_meter_n
             if not pending:
                 return
+            # one transfer for the whole backlog; scan-window entries carry
+            # [K]-stacked stats and a K-list of normalizers, single steps a
+            # scalar and a 1-list
             stacked = np.asarray(
-                jnp.stack([jnp.stack([s["loss_sum"], s["normalizer_metric"]]) for s, _ in pending])
+                jnp.concatenate(
+                    [
+                        jnp.stack(
+                            [jnp.ravel(s["loss_sum"]), jnp.ravel(s["normalizer_metric"])],
+                            axis=1,
+                        )
+                        for s, _ in pending
+                    ]
+                )
             )
-            for (stats_, norm_loss), (loss_sum, n_pos) in zip(pending, stacked):
-                metric_result["loss"].update(float(loss_sum) / norm_loss, norm_loss)
-                items_meter_n += float(n_pos)
+            i = 0
+            for _, norms in pending:
+                for norm_loss in norms:
+                    loss_sum, n_pos = stacked[i]
+                    i += 1
+                    metric_result["loss"].update(float(loss_sum) / norm_loss, norm_loss)
+                    items_meter_n += float(n_pos)
             pending.clear()
 
         workers = int(self.args.get("workers", 8))  # reference: scripts/train.py:95
@@ -440,28 +491,47 @@ class Trainer:
             host_keys = np.asarray(jax.random.key_data(epoch_keys[1:]))
         except TypeError:  # legacy raw uint32 keys
             host_keys = np.asarray(epoch_keys[1:])
-        for step_i, (batch, arrays) in enumerate(
-            self._iter_train_arrays(workers=workers, prefetch=max(2, workers))
-        ):
+        step_i = -1
+        for entry in self._iter_train_entries(workers=workers, prefetch=max(2, workers)):
+            if entry[0] == "s":
+                _, batch, arrays = entry
+                wbatches = [batch]
+            else:
+                _, wbatches, arrays = entry
+            k = len(wbatches)
+            prev_step_i, step_i = step_i, step_i + k
             if profile_steps and self.training_steps == 1:
                 jax.profiler.start_trace(f"{self.save_path}/profile")
                 self._profiling_until = self.training_steps + profile_steps
-            if profile_steps and getattr(self, "_profiling_until", None) == self.training_steps:
+            if profile_steps and getattr(self, "_profiling_until", None) is not None \
+                    and self._profiling_until <= self.training_steps:
                 jax.profiler.stop_trace()
                 logger.info("wrote profiler trace to %s/profile", self.save_path)
                 self._profiling_until = None
                 profile_steps = 0
-            self.training_steps += 1
-            if self.regimes.update(self.epoch, self.training_steps):
+            self.training_steps += k
+            if self.regimes.update(self.epoch, self.training_steps - k + 1):
                 # optimizer type changed: fresh state + rebuilt step
+                # (scan windows never contain a phase switch: step-keyed
+                # phases disable scan mode, and epoch-keyed switches only
+                # fire on an epoch's first entry)
                 self.opt_state = self.regimes.init_state(self.variables["params"])
                 self._rebuild_steps()
 
-            # host-side row of the per-epoch key block (raw uint32[2] keys
-            # are accepted by every jax.random consumer); a partial epoch
-            # consumes a prefix and the next epoch draws a fresh block
-            sub = host_keys[step_i % len(host_keys)]
-            if self.accum_steps <= 1:
+            # host-side row(s) of the per-epoch key block (raw uint32[2]
+            # keys are accepted by every jax.random consumer); a partial
+            # epoch consumes a prefix and the next epoch draws a fresh
+            # block.  A scan window consumes exactly the rows its K single
+            # steps would have.
+            sub = host_keys[(prev_step_i + 1) % len(host_keys)]
+            if entry[0] == "w":
+                rows = np.stack(
+                    [host_keys[i % len(host_keys)] for i in range(prev_step_i + 1, step_i + 1)]
+                )
+                self.variables, self.opt_state, stats = self.train_step_scan(
+                    self.variables, self.opt_state, self._hp(), arrays, rows
+                )
+            elif self.accum_steps <= 1:
                 self.variables, self.opt_state, stats = self.train_step(
                     self.variables, self.opt_state, self._hp(), arrays, sub
                 )
@@ -490,13 +560,19 @@ class Trainer:
                         )
                     self._acc_grads = None
                     self._accum_i = 0
-            pending.append((stats, batch.normalizer_loss))
+            pending.append((stats, [b.normalizer_loss for b in wbatches]))
             dt = time.time() - batch_start
             items_meter_t += dt
             batch_start = time.time()
 
-            last = step_i == n_batches - 1
-            if (step_i > 0 or last) and (step_i % print_freq == 0 or last):
+            # cadence triggers fire when an entry CROSSES a multiple of the
+            # frequency (identical to ``step_i % freq == 0`` for single
+            # steps; a scan window fires at its last step)
+            def crossed(freq):
+                return freq > 0 and step_i > 0 and (step_i // freq) != (prev_step_i // freq)
+
+            last = step_i >= n_batches - 1
+            if crossed(print_freq) or last:
                 drain_pending()
                 logger.info(
                     "TRAINING - EPOCH [%3d][%6d/%d]  time: %7.3f  items/sec: (%.0f)  loss: %.7f",
@@ -507,10 +583,10 @@ class Trainer:
                     items_meter_n / items_meter_t,
                     metric_result["loss"].avg,
                 )
-            if save_freq > 0 and step_i > 0 and step_i % save_freq == 0:
+            if crossed(save_freq):
                 drain_pending()
                 self.save(wait=False)
-            if val_hook is not None and eval_freq > 0 and step_i > 0 and step_i % eval_freq == 0:
+            if val_hook is not None and crossed(eval_freq):
                 drain_pending()
                 val_hook(last_step_of_epoch=False)
         drain_pending()
@@ -541,6 +617,83 @@ class Trainer:
                 window, self._window_buf = self._window_buf, []
                 for b, d in zip(window, self._sparse_plan.plan_window(window)):
                     yield b, self._put_batch(d)
+
+    def _iter_train_entries(self, workers: int, prefetch: int):
+        """Yield training-loop entries: ``("s", batch, device_arrays)`` for
+        single steps, ``("w", [batches], stacked_device_arrays)`` for
+        multi-step scan windows (``train_scan_steps`` > 1; see
+        step.make_scanned_step)."""
+        if self.scan_steps <= 1:
+            for batch, arrays in self._iter_train_arrays(workers, prefetch):
+                yield "s", batch, arrays
+            return
+        to_arrays = self._sparse_plan if self.sparse else train_batch_to_arrays
+        src = self.train_builder.batches(
+            shuffle=True,
+            prefetch=prefetch,
+            transform=lambda b: (b, to_arrays(b)),
+            workers=workers,
+        )
+        yield from self._window_entries(src)
+
+    def _window_entries(self, src):
+        """Group host-built ``(batch, arrays)`` pairs into windows of
+        ``self.scan_steps``: np.stack each leaf and push the whole window to
+        the device in ONE batched transfer, on a dedicated thread so the
+        dispatch loop never blocks on stacking or transfer (inline stacking
+        would serialize ~0.5-1 ms/step of host work into the dispatch path).
+
+        Batches whose array signature differs from the window's (e.g. a
+        sparse batch whose per-batch gate fell back to dense tables changes
+        the key set) and the end-of-epoch tail flush as single-step
+        entries — only two device programs ever exist (the K-window and the
+        single step)."""
+        import queue
+        import threading
+
+        k = self.scan_steps
+        q: "queue.Queue" = queue.Queue(maxsize=2)
+
+        def item_of(batch, arrays):
+            arrays = {n: np.asarray(a) for n, a in arrays.items()}
+            sig = tuple(sorted((n, a.shape, str(a.dtype)) for n, a in arrays.items()))
+            return batch, arrays, sig
+
+        def producer():
+            buf = []
+            try:
+                def flush(singles):
+                    for b, a, _ in singles:
+                        q.put(("s", b, self._put_batch(a)))
+
+                for batch, arrays in src:
+                    it = item_of(batch, arrays)
+                    if buf and it[2] != buf[0][2]:
+                        flush(buf)
+                        buf = []
+                    buf.append(it)
+                    if len(buf) == k:
+                        stacked = {
+                            n: np.stack([a[n] for _, a, _ in buf])
+                            for n in buf[0][1]
+                        }
+                        q.put(("w", [b for b, _, _ in buf], self._put_batch(stacked)))
+                        buf = []
+                flush(buf)
+            except BaseException as e:  # surface to the consumer
+                q.put(e)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
 
     # ------------------------------------------------------------------- eval
 

@@ -472,6 +472,7 @@ def test_sharded_checkpoint_resume_filter_and_weight_map(toy_dataset_dir, tmp_pa
 
     mgr = CheckpointManager(str(tmp_path / "exp"))
     path = mgr.save_sharded(vs, os_, {"training_steps": 1}, rank=0, barrier=lambda tag: None)
+    mgr.wait_finalized()  # slab write + finalize run on the writer thread
 
     # fresh target with different values
     fresh = model.init(jax.random.key(9))
