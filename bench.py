@@ -253,6 +253,10 @@ def bench_flagship(sparse: bool = False, tok_dist: str = "zipf", scan_steps: int
     etoks = meta.entity_token_ids[np.concatenate([raw["candidate_ids"], raw["ent_ids"]])]
     rtoks = meta.relation_token_ids[raw["rel_ids"]]
     info = {
+        # per-row token counts; overwritten below from the planned batch's
+        # actual encode layout when query dedup shrinks it (sparse path) —
+        # MFU must count the tokens the device EXECUTES, not the per-row
+        # batch the step trains
         "ent_tokens_executed": int((etoks > 0).sum()),
         "rel_tokens_executed": int((rtoks > 0).sum()),
         "unique_entity_token_ratio": round(
@@ -280,6 +284,20 @@ def bench_flagship(sparse: bool = False, tok_dist: str = "zipf", scan_steps: int
         info["sparse_tables"] = sorted(
             k.split("/")[1] for k in planned if k.endswith("/uids")
         )
+        if "sparse/buffers/entity_token_ids" in planned:
+            # query dedup shrinks the encode layout — count what the device
+            # actually executes (the batch-local token matrices ARE the
+            # encoder's input rows: unique queries + pad-fill + candidates)
+            info["ent_tokens_executed"] = int(
+                (planned["sparse/buffers/entity_token_ids"] > 0).sum()
+            )
+            info["rel_tokens_executed"] = int(
+                (planned["sparse/buffers/relation_token_ids"] > 0).sum()
+            )
+            info["dedup_encode_rows"] = {
+                "ent": int(len(planned["ent_ids"])),
+                "rel": int(len(planned["rel_ids"])),
+            }
         batch = {k: jnp.asarray(v) for k, v in planned.items()}
         step = make_sparse_train_step(model, regimes, variables["params"], entity_sparse=True)
     else:

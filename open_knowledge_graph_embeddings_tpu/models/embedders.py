@@ -596,20 +596,32 @@ class UnigramPoolingEmbedder(TokenEmbedderBase):
         x = _dropout(x, dropout, train, rng)
         return x, new_state, jnp.zeros((), jnp.float32)
 
-    def _compose(self, variables, ids, kind, table_name, bn_name, proj, dropout, train, rng):
+    def _compose(self, variables, ids, kind, table_name, bn_name, proj, dropout, train, rng, inv=None):
+        # query dedup (train/sparse.py SparsePlanBuilder dedup_queries): the
+        # deterministic per-row pooling stage runs over UNIQUE ids only;
+        # ``inv`` gathers back to per-row BEFORE batchnorm/dropout, so batch
+        # statistics and noise see exactly the rows the undeduped encode
+        # would — numerics are bitwise-identical, only the pooled row count
+        # shrinks (Zipf batches repeat popular mentions heavily)
         x = self._pool_states(variables, ids, kind, table_name)
+        if inv is not None:
+            x = x[inv]
         return self._finish(variables, x, bn_name, proj, dropout, train, rng)
 
-    def encode_entity(self, variables, ids, *, is_sp=None, train=False, rng=None):
+    def encode_entity(self, variables, ids, *, is_sp=None, train=False, rng=None, inv=None):
         return self._compose(
             variables, ids, "entity", "entity_token_embedding", "entity_bn",
-            False, self.entity_dropout, train, rng,
+            False, self.entity_dropout, train, rng, inv=inv,
         )
 
-    def encode_entity_pair(self, variables, ids_a, ids_b, *, train=False, rng_a=None, rng_b=None):
+    def encode_entity_pair(
+        self, variables, ids_a, ids_b, *, train=False, rng_a=None, rng_b=None, inv_b=None
+    ):
         """One token gather + pool over the concatenated id batches; BN and
         dropout still run per group in order (same contract as
-        LSTMEmbedder.encode_entity_pair — numerics identical to two calls)."""
+        LSTMEmbedder.encode_entity_pair — numerics identical to two calls).
+        ``inv_b`` gathers group b's pooled rows back to per-row before its
+        BN/dropout (query dedup — see _compose)."""
         na = ids_a.shape[0]
         x = self._pool_states(
             variables, jnp.concatenate([ids_a, ids_b]), "entity", "entity_token_embedding"
@@ -618,15 +630,18 @@ class UnigramPoolingEmbedder(TokenEmbedderBase):
             variables, x[:na], "entity_bn", False, self.entity_dropout, train, rng_a
         )
         vb = {**variables, "state": state_a}
+        xb = x[na:]
+        if inv_b is not None:
+            xb = xb[inv_b]
         xb, state_b, reg_b = self._finish(
-            vb, x[na:], "entity_bn", False, self.entity_dropout, train, rng_b
+            vb, xb, "entity_bn", False, self.entity_dropout, train, rng_b
         )
         return xa, xb, state_b, reg_a + reg_b
 
-    def encode_relation(self, variables, ids, *, train=False, rng=None):
+    def encode_relation(self, variables, ids, *, train=False, rng=None, inv=None):
         return self._compose(
             variables, ids, "relation", "relation_token_embedding", "relation_bn",
-            self.project_relation, self.relation_dropout, train, rng,
+            self.project_relation, self.relation_dropout, train, rng, inv=inv,
         )
 
 
@@ -876,11 +891,18 @@ class LSTMEmbedder(TokenEmbedderBase):
         x = _dropout(x, dropout, train, rng)
         return x.astype(self._cdtype), new_state, jnp.zeros((), jnp.float32)
 
-    def _compose(self, variables, ids, kind, table_name, lstm_name, bn_name, proj, dropout, train, rng):
+    def _compose(self, variables, ids, kind, table_name, lstm_name, bn_name, proj, dropout, train, rng, inv=None):
+        # query dedup: recurrence runs over unique rows; ``inv`` gathers back
+        # to per-row BEFORE batchnorm/dropout (bitwise-identical numerics,
+        # see TokenEmbedderBase._compose)
         x = self._lstm_states(variables, ids, kind, table_name, lstm_name, train=train)
+        if inv is not None:
+            x = x[inv]
         return self._finish(variables, x, bn_name, proj, dropout, train, rng)
 
-    def encode_entity_pair(self, variables, ids_a, ids_b, *, train=False, rng_a=None, rng_b=None):
+    def encode_entity_pair(
+        self, variables, ids_a, ids_b, *, train=False, rng_a=None, rng_b=None, inv_b=None
+    ):
         """Encode two entity id batches through ONE token-gather + LSTM pass.
 
         Numerically identical to ``encode_entity(ids_a)`` followed by
@@ -903,19 +925,24 @@ class LSTMEmbedder(TokenEmbedderBase):
             variables, x[:na], "entity_bn", False, self.entity_dropout, train, rng_a
         )
         vb = {**variables, "state": state_a}
+        xb = x[na:]
+        if inv_b is not None:
+            # query dedup: group b holds UNIQUE query mentions; gather back
+            # to per-row before its BN/dropout (see TokenEmbedderBase._compose)
+            xb = xb[inv_b]
         xb, state_b, reg_b = self._finish(
-            vb, x[na:], "entity_bn", False, self.entity_dropout, train, rng_b
+            vb, xb, "entity_bn", False, self.entity_dropout, train, rng_b
         )
         return xa, xb, state_b, reg_a + reg_b
 
-    def encode_entity(self, variables, ids, *, is_sp=None, train=False, rng=None):
+    def encode_entity(self, variables, ids, *, is_sp=None, train=False, rng=None, inv=None):
         return self._compose(
             variables, ids, "entity", "entity_token_embedding", "entity_lstm", "entity_bn",
-            False, self.entity_dropout, train, rng,
+            False, self.entity_dropout, train, rng, inv=inv,
         )
 
-    def encode_relation(self, variables, ids, *, train=False, rng=None):
+    def encode_relation(self, variables, ids, *, train=False, rng=None, inv=None):
         return self._compose(
             variables, ids, "relation", "relation_token_embedding", "relation_lstm", "relation_bn",
-            self.project_relation, self.relation_dropout, train, rng,
+            self.project_relation, self.relation_dropout, train, rng, inv=inv,
         )

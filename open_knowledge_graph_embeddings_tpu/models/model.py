@@ -132,16 +132,28 @@ class KGEModel:
         *,
         train: bool = False,
         rng: Optional[jax.Array] = None,
+        ent_inv: Optional[jax.Array] = None,
+        rel_inv: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Dict, jax.Array]:
-        """Per-row query vectors for a mixed sp/po prefix batch."""
+        """Per-row query vectors for a mixed sp/po prefix batch.
+
+        ``ent_inv``/``rel_inv`` (query dedup, train/sparse.py
+        SparsePlanBuilder dedup_queries): when given, ``ent_ids``/``rel_ids``
+        hold UNIQUE ids and the inverse arrays gather the encoded rows back
+        to per-row — the expensive token composition runs once per unique
+        mention while BN/dropout/scoring see the per-row batch unchanged."""
         r_ent = r_rel = None
         if rng is not None:
             r_ent, r_rel = jax.random.split(rng)
         e, state, reg_e = self.embedder.encode_entity(
-            variables, ent_ids, is_sp=is_sp, train=train, rng=r_ent
+            variables, ent_ids, is_sp=is_sp, train=train, rng=r_ent,
+            **({"inv": ent_inv} if ent_inv is not None else {}),
         )
         variables = {**variables, "state": state}
-        r, state, reg_r = self.embedder.encode_relation(variables, rel_ids, train=train, rng=r_rel)
+        r, state, reg_r = self.embedder.encode_relation(
+            variables, rel_ids, train=train, rng=r_rel,
+            **({"inv": rel_inv} if rel_inv is not None else {}),
+        )
         q = QUERY_FNS[self.scorer](e, self._relation_for_query(r), is_sp)
         return q, state, reg_e + reg_r
 
@@ -180,11 +192,13 @@ class KGEModel:
         *,
         train: bool = False,
         rng: Optional[jax.Array] = None,
+        ent_inv: Optional[jax.Array] = None,
+        rel_inv: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, Dict, jax.Array]:
         """[B, N] scores; encodes candidates unless ``cand_emb`` is given."""
         q, cand_emb, state, reg = self.prefix_queries_and_candidates(
             variables, ent_ids, rel_ids, is_sp, cand_ids, cand_emb,
-            train=train, rng=rng,
+            train=train, rng=rng, ent_inv=ent_inv, rel_inv=rel_inv,
         )
         scores = scoring.score_against_candidates(q, cand_emb)
         return scores, state, reg
@@ -200,6 +214,8 @@ class KGEModel:
         *,
         train: bool = False,
         rng: Optional[jax.Array] = None,
+        ent_inv: Optional[jax.Array] = None,
+        rel_inv: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array, Dict, jax.Array]:
         """Encode stage of :meth:`prefix_scores`: returns
         ``(q [B, d], cand_emb [N, d], state, reg)`` without the score matmul,
@@ -253,7 +269,8 @@ class KGEModel:
                 set_ctx(mesh, DATA_AXIS)
             try:
                 q, state, reg_q = self.queries(
-                    variables, ent_ids, rel_ids, is_sp, train=train, rng=r_q
+                    variables, ent_ids, rel_ids, is_sp, train=train, rng=r_q,
+                    ent_inv=ent_inv, rel_inv=rel_inv,
                 )
             finally:
                 if set_ctx:
@@ -271,11 +288,13 @@ class KGEModel:
             if r_q is not None:
                 r_ent, r_rel = jax.random.split(r_q)
             cand_emb, e, state, reg_c = self.embedder.encode_entity_pair(
-                variables, cand_ids, ent_ids, train=train, rng_a=r_cand, rng_b=r_ent
+                variables, cand_ids, ent_ids, train=train, rng_a=r_cand, rng_b=r_ent,
+                **({"inv_b": ent_inv} if ent_inv is not None else {}),
             )
             variables = {**variables, "state": state}
             r, state, reg_r = self.embedder.encode_relation(
-                variables, rel_ids, train=train, rng=r_rel
+                variables, rel_ids, train=train, rng=r_rel,
+                **({"inv": rel_inv} if rel_inv is not None else {}),
             )
             q = QUERY_FNS[self.scorer](e, self._relation_for_query(r), is_sp)
             return q, cand_emb, state, reg + reg_c + reg_r
@@ -286,7 +305,8 @@ class KGEModel:
             variables = {**variables, "state": state}
             reg = reg + reg_c
         q, state, reg_q = self.queries(
-            variables, ent_ids, rel_ids, is_sp, train=train, rng=r_q
+            variables, ent_ids, rel_ids, is_sp, train=train, rng=r_q,
+            ent_inv=ent_inv, rel_inv=rel_inv,
         )
         return q, cand_emb, state, reg + reg_q
 

@@ -196,6 +196,7 @@ class SparsePlanBuilder:
         layout: Optional[str] = None,
         grad_plan: bool = True,
         mesh=None,
+        dedup_queries: bool = True,
     ):
         """``min_rows_ratio``: a table is only sparsified for a batch when
         its height exceeds ``ratio x touched-rows`` — below that the dense
@@ -259,6 +260,25 @@ class SparsePlanBuilder:
         #: "cand" and "entity" (query) plans replace the single
         #: concatenated pair-encode plan.
         self.mesh = mesh
+        #: encode each UNIQUE query mention/relation once and gather back
+        #: per-row before BN/dropout — numerics are bitwise-identical to
+        #: the undeduped encode (models/embedders._compose ``inv``), only
+        #: the token-composition row count shrinks (Zipf batches repeat
+        #: popular mentions ~5x).  Token embedders with encoder-internal
+        #: BN (bigram: stats over conv positions of the encode batch)
+        #: would change statistics, so they are excluded; mesh mode is
+        #: excluded until per-shard inv plumbing exists (the region split
+        #: shards the per-row batch, not the unique rows).
+        from open_knowledge_graph_embeddings_tpu.models.embedders import (
+            BigramPoolingEmbedder,
+        )
+
+        self.dedup_queries = (
+            bool(dedup_queries)
+            and self.is_token
+            and mesh is None
+            and not isinstance(embedder, BigramPoolingEmbedder)
+        )
         if entity_sparse and not self.tables:
             raise ValueError(f"no sparse tables for embedder {type(embedder).__name__}")
 
@@ -529,14 +549,29 @@ class SparsePlanBuilder:
         if remap is not None:
             d["rel_ids"] = remap(batch.rel_ids)
 
+    def _dedup_ids(self, ids: np.ndarray):
+        """(encode_ids, inv_or_None): unique ids padded to a multiple of 512
+        (few static shapes; padding repeats uid 0 — those rows encode but
+        are never gathered, so their cotangent is zero).  Returns the
+        original ids unchanged when dedup is off or wouldn't shrink."""
+        if not self.dedup_queries:
+            return ids, None
+        u, inv = np.unique(ids, return_inverse=True)
+        S = max(512, -(-len(u) // 512) * 512)
+        if S >= len(ids):
+            return ids, None
+        enc = np.concatenate([u, np.full(S - len(u), u[0], u.dtype)])
+        return enc.astype(np.int32), inv.astype(np.int32)
+
     def _plan_token(self, d: Dict[str, Any], batch: Batch) -> None:
         meta = self.embedder.meta
         if self.entity_sparse:
             assert batch.candidate_ids is not None, (
                 "entity-token-table sparsity requires batch-shared candidates"
             )
-            used = np.concatenate([batch.ent_ids, batch.candidate_ids])
-            toks = meta.entity_token_ids[used]  # [B+N, L]
+            ents_enc, ent_inv = self._dedup_ids(batch.ent_ids)
+            used = np.concatenate([ents_enc, batch.candidate_ids])
+            toks = meta.entity_token_ids[used]  # [S_e+N, L]
             # PAD (token 0) must map to layout position 0 even when no pad
             # token appears in the batch: _pad_stop_gradient and the length
             # masks key off remapped id 0
@@ -546,16 +581,19 @@ class SparsePlanBuilder:
             )
             remap = self._pack_rows(d, "entity_token_embedding", ut, meta.entity_tokens_size)
             if remap is not None:
-                B = len(batch.ent_ids)
+                B = len(ents_enc)
                 d["ent_ids"] = np.arange(B, dtype=np.int32)
                 d["candidate_ids"] = np.arange(
                     B, B + len(batch.candidate_ids), dtype=np.int32
                 )
+                if ent_inv is not None:
+                    d["dedup/ent_inv"] = ent_inv
                 d["sparse/buffers/entity_token_ids"] = (
                     remapped if remapped is not None else remap(toks)
                 )
                 self._emit_grad_plan(d, "entity", "entity_token_embedding")
-        rtoks = meta.relation_token_ids[batch.rel_ids]  # [B, L]
+        rels_enc, rel_inv = self._dedup_ids(batch.rel_ids)
+        rtoks = meta.relation_token_ids[rels_enc]  # [S_r, L]
         nat = self._native_unique_remap(rtoks, meta.relation_tokens_size)
         rut, rremapped = nat if nat is not None else (
             np.union1d(np.int32(0), rtoks), None
@@ -564,7 +602,9 @@ class SparsePlanBuilder:
             d, "relation_token_embedding", rut, meta.relation_tokens_size
         )
         if remap is not None:
-            d["rel_ids"] = np.arange(len(batch.rel_ids), dtype=np.int32)
+            d["rel_ids"] = np.arange(len(rels_enc), dtype=np.int32)
+            if rel_inv is not None:
+                d["dedup/rel_inv"] = rel_inv
             d["sparse/buffers/relation_token_ids"] = (
                 rremapped if rremapped is not None else remap(rtoks)
             )

@@ -47,10 +47,16 @@ def prefix_loss(
     explicit scores + dense-label path."""
     cand_ids = batch.get("candidate_ids")
     col_valid = batch.get("col_valid")
+    # query dedup (train/sparse.py SparsePlanBuilder dedup_queries): when
+    # present, ent_ids/rel_ids hold unique ids and these inverse arrays
+    # gather the encoded rows back to per-row inside the model
+    ent_inv = batch.get("dedup/ent_inv")
+    rel_inv = batch.get("dedup/rel_inv")
     if loss_type == "bce":
         q, cand_emb, new_state, reg = model.prefix_queries_and_candidates(
             variables, batch["ent_ids"], batch["rel_ids"], batch["is_sp"],
             cand_ids=cand_ids, train=True, rng=rng,
+            ent_inv=ent_inv, rel_inv=rel_inv,
         )
         loss_sum = bce_over_scores(
             q, cand_emb, batch["pos_rows"], batch["pos_cols"],
@@ -61,6 +67,7 @@ def prefix_loss(
     scores, new_state, reg = model.prefix_scores(
         variables, batch["ent_ids"], batch["rel_ids"], batch["is_sp"],
         cand_ids=cand_ids, train=True, rng=rng,
+        ent_inv=ent_inv, rel_inv=rel_inv,
     )
     loss_sum, norm_metric = one_vs_n_loss(
         loss_type, scores, batch["pos_rows"], batch["pos_cols"],
