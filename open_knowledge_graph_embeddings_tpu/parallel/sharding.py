@@ -88,7 +88,10 @@ def train_batch_shardings(batch: Dict[str, Any], mesh: Mesh) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for k, v in batch.items():
         n = rows(v)
-        if k in ("ent_ids", "rel_ids", "is_sp", "row_valid") and n and n[0] % data_n == 0:
+        if (
+            k in ("ent_ids", "rel_ids", "is_sp", "row_valid", "dedup/ent_inv", "dedup/rel_inv")
+            and n and n[0] % data_n == 0
+        ):
             out[k] = _ns(mesh, DATA_AXIS)
         elif k in ("candidate_ids", "col_valid") and n:
             # candidate axis rides the model axis; on pure-DP meshes the

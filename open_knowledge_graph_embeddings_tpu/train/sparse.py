@@ -197,6 +197,7 @@ class SparsePlanBuilder:
         grad_plan: bool = True,
         mesh=None,
         dedup_queries: bool = True,
+        dedup_bucket: int = 512,
     ):
         """``min_rows_ratio``: a table is only sparsified for a batch when
         its height exceeds ``ratio x touched-rows`` — below that the dense
@@ -266,9 +267,10 @@ class SparsePlanBuilder:
         #: the token-composition row count shrinks (Zipf batches repeat
         #: popular mentions ~5x).  Token embedders with encoder-internal
         #: BN (bigram: stats over conv positions of the encode batch)
-        #: would change statistics, so they are excluded; mesh mode is
-        #: excluded until per-shard inv plumbing exists (the region split
-        #: shards the per-row batch, not the unique rows).
+        #: would change statistics, so they are excluded.  On meshes the
+        #: unique lists are built PER DATA-SHARD (each shard_map region
+        #: block dedups its own rows; inverse indices are globalized as
+        #: shard*S + local), so per-chip encode work still shrinks as N/D.
         from open_knowledge_graph_embeddings_tpu.models.embedders import (
             BigramPoolingEmbedder,
         )
@@ -276,9 +278,9 @@ class SparsePlanBuilder:
         self.dedup_queries = (
             bool(dedup_queries)
             and self.is_token
-            and mesh is None
             and not isinstance(embedder, BigramPoolingEmbedder)
         )
+        self.dedup_bucket = int(dedup_bucket)
         if entity_sparse and not self.tables:
             raise ValueError(f"no sparse tables for embedder {type(embedder).__name__}")
 
@@ -549,18 +551,44 @@ class SparsePlanBuilder:
         if remap is not None:
             d["rel_ids"] = remap(batch.rel_ids)
 
+    def _dedup_shards(self) -> int:
+        if self.mesh is None:
+            return 1
+        from open_knowledge_graph_embeddings_tpu.parallel.mesh import DATA_AXIS
+
+        return int(dict(self.mesh.shape).get(DATA_AXIS, 1))
+
     def _dedup_ids(self, ids: np.ndarray):
-        """(encode_ids, inv_or_None): unique ids padded to a multiple of 512
-        (few static shapes; padding repeats uid 0 — those rows encode but
-        are never gathered, so their cotangent is zero).  Returns the
-        original ids unchanged when dedup is off or wouldn't shrink."""
+        """(encode_ids, inv_or_None): unique ids padded to a multiple of
+        ``dedup_bucket`` (few static shapes; padding repeats uid 0 — those
+        rows encode but are never gathered, so their cotangent is zero).
+        Returns the original ids unchanged when dedup is off or wouldn't
+        shrink.
+
+        On a mesh, the batch's rows are split into the ``data``-axis
+        shard blocks GSPMD will assign, each block dedups independently to
+        a COMMON bucket S, and the inverse indices are globalized as
+        ``shard * S + local`` — so the encode region (embedders
+        ``_lstm_states`` shard_map) still sees per-shard-local unique
+        rows, and the per-row gather crosses no shard boundary."""
         if not self.dedup_queries:
             return ids, None
-        u, inv = np.unique(ids, return_inverse=True)
-        S = max(512, -(-len(u) // 512) * 512)
-        if S >= len(ids):
+        A = self._dedup_shards()
+        if A > 1 and len(ids) % A != 0:
             return ids, None
-        enc = np.concatenate([u, np.full(S - len(u), u[0], u.dtype)])
+        blk = len(ids) // A
+        parts = [
+            np.unique(ids[i * blk : (i + 1) * blk], return_inverse=True)
+            for i in range(A)
+        ]
+        bump = self.dedup_bucket
+        S = max(bump, -(-max(len(u) for u, _ in parts) // bump) * bump)
+        if A * S >= len(ids):
+            return ids, None
+        enc = np.concatenate(
+            [np.concatenate([u, np.full(S - len(u), u[0], u.dtype)]) for u, _ in parts]
+        )
+        inv = np.concatenate([i * S + iv for i, (_, iv) in enumerate(parts)])
         return enc.astype(np.int32), inv.astype(np.int32)
 
     def _plan_token(self, d: Dict[str, Any], batch: Batch) -> None:

@@ -77,24 +77,12 @@ def test_dedup_step_matches_undeduped(toy_dataset_dir, name, mkw):
 
     outs = {}
     for dedup in (False, True):
+        # the toy batch is tiny, so the default 512 bucket floor would never
+        # shrink it — drop the bucket to 1 for the test
         plan = SparsePlanBuilder(
             model.embedder, entity_sparse=True, min_rows_ratio=0.0,
-            dedup_queries=dedup,
+            dedup_queries=dedup, dedup_bucket=1,
         )
-        # the toy batch is tiny, so _dedup_ids' 512-minimum bucket would
-        # never shrink it — drop the floor for the test
-        if dedup:
-            orig = plan._dedup_ids
-
-            def small_bucket(ids, _orig=plan._dedup_ids):
-                if not plan.dedup_queries:
-                    return ids, None
-                u, inv = np.unique(ids, return_inverse=True)
-                if len(u) >= len(ids):
-                    return ids, None
-                return u.astype(np.int32), inv.astype(np.int32)
-
-            plan._dedup_ids = small_bucket
         d = plan(batch)
         if dedup:
             assert "dedup/ent_inv" in d or "dedup/rel_inv" in d, (
@@ -142,6 +130,8 @@ def test_dedup_engages_at_flagship_stats():
 
     sp = SparsePlanBuilder.__new__(SparsePlanBuilder)
     sp.dedup_queries = True
+    sp.dedup_bucket = 512
+    sp.mesh = None
     enc, inv = SparsePlanBuilder._dedup_ids(sp, ids)
     assert inv is not None
     assert len(enc) < len(ids) // 2

@@ -717,3 +717,99 @@ def test_encode_all_entities_mesh_cache_key(toy_dataset_dir):
     out_b = np.asarray(model.encode_all_entities(vb, mesh=mesh_b))
     assert len(model._jit_cache) == len(keys_after_a) + 1
     np.testing.assert_allclose(out_a, out_b, rtol=1e-6)
+
+
+def test_sparse_dedup_on_mesh_matches_dense():
+    """Query dedup composes with meshes: per-DATA-shard unique lists (inv
+    globalized as shard*S + local) through the shard_map encode regions
+    must match the dense mesh step on duplicate-heavy batches."""
+    from open_knowledge_graph_embeddings_tpu.data.batching import Batch
+    from open_knowledge_graph_embeddings_tpu.models.model import build_model
+    from open_knowledge_graph_embeddings_tpu.train.optim import OptimizerRegimes
+    from open_knowledge_graph_embeddings_tpu.train.sparse import (
+        SparsePlanBuilder,
+        make_sparse_train_step,
+    )
+    from open_knowledge_graph_embeddings_tpu.train.step import (
+        make_train_step,
+        train_batch_to_arrays,
+    )
+    from open_knowledge_graph_embeddings_tpu.parallel import (
+        make_mesh,
+        opt_state_shardings,
+        train_batch_shardings,
+        variables_shardings,
+    )
+    from __graft_entry__ import _synthetic_meta
+
+    rng = np.random.default_rng(7)
+    meta = _synthetic_meta(entities=64, relations=16, ent_tokens=48, rel_tokens=24, max_len=6)
+    model = build_model(
+        "LSTMComplexRelationModel", meta, entity_slot_size=16, init_std=0.1, dropout=0.0
+    )
+    variables = model.init(jax.random.key(0))
+    regimes = OptimizerRegimes({"optimizer": "SGD", "lr": 0.5})
+    regimes.update(1, 0)
+    hp = [{k: jnp.float32(v) for k, v in h.items()} for h in regimes.hparams()]
+
+    B, N = 16, 32
+
+    def mk_dup_batch():
+        # two distinct query entities / relations: every 4-row data-shard
+        # block dedups to <= 2 unique rows (bucket 2 -> S=2, A*S=8 < 16)
+        ent = rng.choice(np.asarray([2, 3], np.int32), B)
+        rel = rng.choice(np.asarray([2, 3], np.int32), B)
+        cand = rng.choice(np.arange(2, meta.entities_size, dtype=np.int32), N, replace=False)
+        P = 32
+        pos_rows = np.full(P, -1, np.int32)
+        pos_cols = np.full(P, -1, np.int32)
+        pos_rows[:B] = np.arange(B)
+        pos_cols[:B] = rng.integers(0, 16, B)
+        return Batch(
+            ent_ids=ent, rel_ids=rel, is_sp=(np.arange(B) % 2 == 0),
+            row_valid=np.ones(B, bool), num_rows=B, candidate_ids=cand,
+            col_valid=np.ones(N, bool), num_cols=N, cand_offset=2,
+            pos_rows=pos_rows, pos_cols=pos_cols, normalizer_loss=float(B * N),
+        )
+
+    batches = [mk_dup_batch() for _ in range(3)]
+    mesh = make_mesh(data=4, model=2)
+
+    def run(step_fn, planner, expect_dedup=False):
+        vs = jax.tree_util.tree_map(jnp.copy, variables)
+        var_sh = variables_shardings(vs, mesh)
+        vs = jax.device_put(vs, var_sh)
+        opt = regimes.init_state(vs["params"])
+        opt = jax.device_put(opt, opt_state_shardings(opt, var_sh, mesh))
+        for i, b in enumerate(batches):
+            arrs = planner(b)
+            if expect_dedup:
+                assert "dedup/ent_inv" in arrs and "dedup/rel_inv" in arrs
+                assert len(arrs["ent_ids"]) == 8  # 4 shards x S=2
+            sh = train_batch_shardings(arrs, mesh)
+            arrs = {k: jax.device_put(np.asarray(v), sh[k]) for k, v in arrs.items()}
+            vs, opt, st = step_fn(vs, opt, hp, arrs, jax.random.key(100 + i))
+        return jax.tree_util.tree_map(np.asarray, vs["params"]), float(st["loss_sum"])
+
+    dense, loss_d = run(
+        make_train_step(model, regimes, variables["params"]), train_batch_to_arrays
+    )
+    model.set_mesh(mesh)
+    try:
+        dd, loss_dd = run(
+            make_sparse_train_step(model, regimes, variables["params"], entity_sparse=True),
+            SparsePlanBuilder(model.embedder, True, min_rows_ratio=0.0,
+                              grad_plan=True, mesh=mesh, dedup_bucket=2),
+            expect_dedup=True,
+        )
+    finally:
+        model.set_mesh(None)
+
+    assert abs(loss_d - loss_dd) < 1e-3
+    flat_d = dict(jax.tree_util.tree_flatten_with_path(dense)[0])
+    flat_o = dict(jax.tree_util.tree_flatten_with_path(dd)[0])
+    for kp, leaf in flat_d.items():
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_o[kp]), rtol=2e-5, atol=1e-4,
+            err_msg=str(kp),
+        )
