@@ -119,14 +119,9 @@ def test_dedup_step_matches_undeduped(toy_dataset_dir, name, mkw):
 def test_dedup_engages_at_flagship_stats():
     """At Zipf duplication the planner should emit both inverse arrays and
     shrink the encode row count (the perf contract the headline rests on)."""
-    import sys, os
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     rng = np.random.default_rng(0)
     ids = (2 + (rng.zipf(1.3, size=4096) - 1) % 100000).astype(np.int32)
     from open_knowledge_graph_embeddings_tpu.train.sparse import SparsePlanBuilder
-
-    class _Fake:
-        pass
 
     sp = SparsePlanBuilder.__new__(SparsePlanBuilder)
     sp.dedup_queries = True
