@@ -40,6 +40,28 @@ import numpy as np
 # ------------------------------------------------------------ analytic model
 
 
+def _dedup_rows_per_shard(B: int, Dp: int, bucket: int = 512):
+    """(entity, relation) query encode rows per data shard under the
+    planner's per-shard query dedup (train/sparse.py dedup_queries) —
+    MEASURED from the same Zipf id generators the bench batch uses, split
+    into the Dp contiguous blocks GSPMD assigns, not hand-modeled."""
+    import bench
+
+    rng = np.random.default_rng(0)
+    ent = 2 + (rng.zipf(1.3, size=B) - 1) % (bench.ENTITIES - 2)
+    rel = 2 + (rng.zipf(1.1, size=B) - 1) % (bench.RELATIONS - 2)
+
+    def rows(ids):
+        blk = len(ids) // Dp
+        u = max(
+            len(np.unique(ids[i * blk : (i + 1) * blk])) for i in range(Dp)
+        )
+        S = max(bucket, -(-u // bucket) * bucket)
+        return blk if Dp * S >= len(ids) else S
+
+    return rows(ent), rows(rel)
+
+
 def analytic_model(args) -> dict:
     import bench
 
@@ -60,7 +82,15 @@ def analytic_model(args) -> dict:
     # Candidate rows shard over the model axis (pure-DP: over data); query
     # and relation rows over data; LSTM/score FLOPs split accordingly.
     cand_shards = Mp if Mp > 1 else Dp
-    enc_rows_per_chip = B / Dp + N / cand_shards
+    # query dedup (default-on planner path): per-data-shard unique rows
+    if getattr(args, "dedup", True):
+        S_e, S_r = _dedup_rows_per_shard(B, Dp)
+        q_rows_per_chip = min(S_e, B / Dp)
+        rel_rows_per_chip = min(S_r, B / Dp)
+    else:
+        q_rows_per_chip = B / Dp
+        rel_rows_per_chip = B / Dp
+    enc_rows_per_chip = q_rows_per_chip + N / cand_shards
     enc_tok_per_chip = ent_tok * enc_rows_per_chip / ent_rows
 
     phases = {}
@@ -81,11 +111,12 @@ def analytic_model(args) -> dict:
         note=f"{enc_rows_per_chip:.0f} rows/chip of {ent_rows} (cand axis over "
         f"{'model' if Mp > 1 else 'data'})",
     )
+    rel_tok_per_chip = rel_tok * rel_rows_per_chip / B
     phase(
         "relation_encode_fwd+bwd",
-        3 * lstm_step_flops * rel_tok / Dp,
-        (3 * rel_tok / Dp * d * bf16) * 2.5,
-        note=f"{B / Dp:.0f} rows/chip",
+        3 * lstm_step_flops * rel_tok_per_chip,
+        (3 * rel_tok_per_chip * d * bf16) * 2.5,
+        note=f"{rel_rows_per_chip:.0f} rows/chip",
     )
     # score fwd + dq + dcand matmuls; [B/D, N/M] block per chip
     score_flops = 3 * 2 * (B / Dp) * (N / Mp) * d
@@ -325,10 +356,13 @@ def main():
     ap.add_argument("--elementwise-ms", type=float, default=1.5,
                     help="measured 1-chip BN/dropout/sort/gather tail "
                     "(row-elementwise, shards over data)")
+    ap.add_argument("--no-dedup", action="store_true",
+                    help="model the pre-dedup path (per-row query encodes)")
     ap.add_argument("--fixed-overhead-ms", type=float, default=0.4,
                     help="genuinely non-sharding residual (dispatch, scalar "
                     "work); excludes the modeled phases")
     args = ap.parse_args()
+    args.dedup = not args.no_dedup
     if args.hlo_sweep:
         print(json.dumps(hlo_sweep(), indent=1))
         return
