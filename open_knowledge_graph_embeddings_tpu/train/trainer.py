@@ -653,6 +653,16 @@ class Trainer:
 
         k = self.scan_steps
         q: "queue.Queue" = queue.Queue(maxsize=2)
+        stop = threading.Event()  # consumer gone: unblock + end the producer
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def item_of(batch, arrays):
             arrays = {n: np.asarray(a) for n, a in arrays.items()}
@@ -664,9 +674,12 @@ class Trainer:
             try:
                 def flush(singles):
                     for b, a, _ in singles:
-                        q.put(("s", b, self._put_batch(a)))
+                        if not put(("s", b, self._put_batch(a))):
+                            return
 
                 for batch, arrays in src:
+                    if stop.is_set():
+                        return
                     it = item_of(batch, arrays)
                     if buf and it[2] != buf[0][2]:
                         flush(buf)
@@ -677,23 +690,31 @@ class Trainer:
                             n: np.stack([a[n] for _, a, _ in buf])
                             for n in buf[0][1]
                         }
-                        q.put(("w", [b for b, _, _ in buf], self._put_batch(stacked)))
+                        if not put(("w", [b for b, _, _ in buf], self._put_batch(stacked))):
+                            return
                         buf = []
                 flush(buf)
             except BaseException as e:  # surface to the consumer
-                q.put(e)
+                put(e)
             finally:
-                q.put(None)
+                put(None)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # early consumer exit (error, break, generator close): release
+            # the producer so it doesn't block forever on a full queue
+            stop.set()
+            while not q.empty():
+                q.get_nowait()
 
     # ------------------------------------------------------------------- eval
 
