@@ -167,3 +167,33 @@ def test_trainer_scan_steps_matches_single_step(toy_dataset_dir, tmp_path):
     assert set(ref) == set(win) and ref
     for k in sorted(ref):
         np.testing.assert_allclose(ref[k], win[k], rtol=0, atol=2e-6, err_msg=k)
+
+
+def test_window_entries_producer_exits_on_early_consumer_exit():
+    """Breaking out of the entry loop (error / early stop) must release the
+    windowing thread — it would otherwise block forever on the full queue."""
+    import threading
+    import time as _time
+    import types
+
+    from open_knowledge_graph_embeddings_tpu.train.trainer import Trainer
+
+    fake = types.SimpleNamespace(scan_steps=2, _put_batch=lambda a: a)
+
+    def src():
+        i = 0
+        while True:  # endless stream of identical-signature batches
+            i += 1
+            yield object(), {"x": np.full((4,), i, np.int32)}
+
+    gen = Trainer._window_entries(fake, src())
+    first = next(gen)
+    assert first[0] == "w" and len(first[1]) == 2
+    n_before = threading.active_count()
+    gen.close()  # triggers the finally: stop.set() + drain
+    deadline = _time.time() + 5.0
+    while threading.active_count() > n_before - 1 and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= n_before - 1, (
+        "window producer thread did not exit after consumer close"
+    )
