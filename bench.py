@@ -819,10 +819,10 @@ def main():
     # headline: the shipped flagship configuration — sparse: true (the
     # per-batch gate picks row-sparse token-table updates at realistic
     # duplication, dense when a batch is too unique), realistic Zipf token
-    # statistics, the TRUE OLPBench 2.47M-mention shape, 32-step scan
-    # dispatch (train_scan_steps: 32 in the flagship configs; set
+    # statistics, the TRUE OLPBench 2.47M-mention shape, 64-step scan
+    # dispatch (train_scan_steps: 64 in the flagship configs; set
     # OKET_BENCH_SCAN=0/K to measure single-step or another window)
-    scan = int(os.environ.get("OKET_BENCH_SCAN", "32") or 0)
+    scan = int(os.environ.get("OKET_BENCH_SCAN", "64") or 0)
     items, step_s, info = bench_flagship(sparse=True, scan_steps=scan)
     flops = flagship_flops_per_step(
         info["ent_tokens_executed"], info["rel_tokens_executed"]
